@@ -1,0 +1,165 @@
+"""Typed configuration for every pipeline in the framework.
+
+The reference duplicates ~70 lines of argparse flags across three scripts
+(reference batch_spalign_kmeans.py:38-108, direct_clustering.py,
+superpixel_overlaps.py) and snapshots them into every artifact via
+``vars(args)``.  Here a single set of dataclasses is shared by all entry
+points; ``asdict`` of the active config is serialized into every
+result.json record and checkpoint directory, preserving the reference's
+provenance behavior (batch_spalign_kmeans.py:419, train_segnet.py:253-254).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class PriorConfig:
+    """Gaussian road-location prior (reference batch_spalign_kmeans.py:111-129).
+
+    weights = exp(-((y - int(H*y_rel_pos))^2 / (2*H*y_rel_sigma)^2
+                    + (x - int(W*x_rel_pos))^2 / (2*W*x_rel_sigma)^2))
+
+    Note the reference divides by ``(2*sigma)**2``, not ``2*sigma**2``; we
+    reproduce that exactly.
+    """
+
+    y_rel_pos: float = 0.75
+    x_rel_pos: float = 0.5
+    y_rel_sigma: float = 0.1
+    x_rel_sigma: float = 0.1
+
+
+@dataclass(frozen=True)
+class SuperpixelConfig:
+    """Superpixel frontend (reference batch_spalign_kmeans.py:299-313).
+
+    ``method='felzenszwalb'`` runs the native C++ host op (the reference's
+    headline configuration); ``method='slic'`` runs the TPU-device SLIC.
+    """
+
+    method: str = "felzenszwalb"  # 'felzenszwalb' | 'slic'
+    # felzenszwalb params (reference defaults :71-73; canonical shell
+    # wrappers use scale=300 sigma=0.8 min_size=20)
+    felzenszwalb_scale: float = 300.0
+    felzenszwalb_sigma: float = 0.8
+    felzenszwalb_min_size: int = 20
+    # slic params (reference :74; skimage-equivalent defaults)
+    n_slic_segments: int = 100
+    slic_compactness: float = 10.0
+    slic_iters: int = 10
+    # padding bound for the per-image superpixel count on device
+    max_superpixels: int = 1024
+
+
+@dataclass(frozen=True)
+class AlignConfig:
+    """Superpixel-align pooling (reference batch_spalign_kmeans.py:210-276)."""
+
+    n_anchors: int = 10
+    n_neighbors: int = 4  # kept for config parity; bilinear uses the 2x2 cell
+    append_pos: bool = True  # append the superpixel center of mass (y, x)
+
+
+@dataclass(frozen=True)
+class KMeansConfig:
+    """Prior-seeded weighted k-means (reference batch_spalign_kmeans.py:136-207)."""
+
+    n_clusters: int = 4
+    n_iter: int = 1000
+    seed: int = 1111
+    # number of full re-runs if an image ends up with an empty road mask
+    # (replaces the reference's broken retry recursion at :201-205)
+    max_retries: int = 3
+
+
+@dataclass(frozen=True)
+class LabelGenConfig:
+    """Label-generation pipeline config (reference batch_spalign_kmeans.py
+    CLI :38-108 plus direct_clustering / superpixel_overlaps variants)."""
+
+    mode: str = "spalign"  # 'spalign' | 'direct' | 'overlaps'
+    resize_shape: Tuple[int, int] = (224, 224)  # (H, W) model input
+    batchsize: int = 30  # joint-clustering batch
+    use_feature_maps: Tuple[int, ...] = (7,)  # DRN stage outputs to concat
+    prior: PriorConfig = field(default_factory=PriorConfig)
+    superpixel: SuperpixelConfig = field(default_factory=SuperpixelConfig)
+    align: AlignConfig = field(default_factory=AlignConfig)
+    kmeans: KMeansConfig = field(default_factory=KMeansConfig)
+    # 'overlaps' mode: superpixel kept as road if
+    # overlap / n_predicted_road_pixels > overlap_threshold
+    # (reference superpixel_overlaps.py:79,359-369)
+    overlap_threshold: float = 0.01
+    out_dir: str = "results/labels"
+    save_images: bool = False  # diagnostic 2x2 panels
+    save_masks: bool = True
+    model_dtype: str = "float32"  # 'float32' | 'bfloat16' feature extractor
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """SegNet training config (reference train_segnet.py:41-94)."""
+
+    model: str = "basic"  # 'basic' | 'normal'
+    n_class: int = 2
+    batchsize: int = 8  # GLOBAL batch (reference: per-rank 1 x 8 ranks)
+    lr: float = 0.01
+    decay_iteration: int = 300  # lr *= 0.1 every N iters (MomentumSGD only)
+    weight_decay: float = 0.0005
+    train_iters: int = 2000
+    optimizer: str = "Adam"  # 'Adam' | 'MomentumSGD'
+    input_shape: Tuple[int, int] = (512, 1024)
+    eval_shape: Tuple[int, int] = (1024, 2048)
+    augment: bool = False  # PCA lighting + horizontal flip
+    log_interval: int = 50
+    val_interval: int = 100
+    loss: str = "ce"  # 'ce' | 'soft' | 'mse'
+    n_use_data: Optional[int] = None
+    seed: int = 0
+    result_dir: str = "results/train"
+    resume: Optional[str] = None
+    # parallelism: data-parallel axis size; None = all visible devices
+    num_devices: Optional[int] = None
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class RoundsConfig:
+    """Self-training rounds (reference utils/run_train_rounds.py:26-67)."""
+
+    n_round: int = 1
+    iteration: int = 2000
+    val_iteration: int = 100
+    loss: str = "ce"
+    augment: bool = False
+    test_mode: bool = False
+    batchsize: int = 8
+    result_base_dir: str = "results"
+    eval_shape: Tuple[int, int] = (1024, 2048)
+    n_labels: Optional[int] = None  # inferred from dataset if None
+
+
+def to_json(cfg) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True,
+                      default=str)
+
+
+def flatten(cfg, prefix: str = "") -> dict:
+    """Flatten a (possibly nested) config dataclass into a flat dict for
+    embedding into result.json records (reference behavior:
+    ``result_info.update(vars(args))``)."""
+    out = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        key = f"{prefix}{f.name}"
+        if dataclasses.is_dataclass(v):
+            out.update(flatten(v, prefix=f"{f.name}."))
+        elif isinstance(v, tuple):
+            out[key] = list(v)
+        else:
+            out[key] = v
+    return out
