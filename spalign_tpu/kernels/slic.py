@@ -1,0 +1,135 @@
+"""SLIC superpixels as an on-device XLA program.
+
+The reference computes superpixels on the CPU with scikit-image's Cython
+SLIC (reference batch_spalign_kmeans.py:308-311) — a host detour in the
+middle of the GPU pipeline.  SLIC is a local k-means on a grid: fixed
+iteration count, fixed shapes, distance computations that map onto the
+TPU's vector/matrix units — so here it runs on device, inside the same
+jit program as the feature extractor.
+
+skimage-compatible conventions:
+  * RGB inputs are converted to CIELAB (convert2lab=True default),
+  * centers initialized on a regular grid,
+  * distance D^2 = d_lab^2 + (d_xy / S)^2 * compactness^2 with
+    S = sqrt(HW / K) the grid interval,
+  * pixels only compete among centers within a 2S x 2S window — here
+    expressed as a distance mask so the program stays dense/fixed-shape.
+
+Strict connectivity (skimage's enforce_connectivity post-pass) is
+sequential union-find; it stays a host post-op
+(spalign_tpu.native.enforce_connectivity) applied outside the jit
+program when requested.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
+    """sRGB (0..1, (..., 3)) -> CIELAB (D65), standard colorimetry."""
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    lin = jnp.where(rgb > 0.04045,
+                    ((rgb + 0.055) / 1.055) ** 2.4,
+                    rgb / 12.92)
+    r, g, b = lin[..., 0], lin[..., 1], lin[..., 2]
+    # sRGB D65 matrix
+    x = 0.412453 * r + 0.357580 * g + 0.180423 * b
+    y = 0.212671 * r + 0.715160 * g + 0.072169 * b
+    z = 0.019334 * r + 0.119193 * g + 0.950227 * b
+    # normalize by white point
+    xn, yn, zn = 0.950456, 1.0, 1.088754
+    def f(t):
+        return jnp.where(t > 0.008856, jnp.cbrt(t),
+                         7.787 * t + 16.0 / 116.0)
+    fx, fy, fz = f(x / xn), f(y / yn), f(z / zn)
+    L = jnp.where(y / yn > 0.008856, 116.0 * fy - 16.0, 903.3 * y / yn)
+    a = 500.0 * (fx - fy)
+    bb = 200.0 * (fy - fz)
+    return jnp.stack([L, a, bb], axis=-1)
+
+
+def _init_centers(h: int, w: int, n_segments: int):
+    """Regular-grid center positions (static, python-time)."""
+    import numpy as np
+
+    step = (h * w / n_segments) ** 0.5
+    gy = max(1, int(round(h / step)))
+    gx = max(1, int(round(w / step)))
+    ys = (np.arange(gy) + 0.5) * (h / gy)
+    xs = (np.arange(gx) + 0.5) * (w / gx)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    return (np.stack([yy.ravel(), xx.ravel()], axis=-1).astype("float32"),
+            step)
+
+
+@partial(jax.jit, static_argnames=("n_segments", "compactness", "n_iter"))
+def slic(image: jnp.ndarray, n_segments: int = 100,
+         compactness: float = 10.0, n_iter: int = 10,
+         convert_lab: bool | None = None) -> jnp.ndarray:
+    """SLIC superpixels of one (H, W, 3) image (values 0..255).
+
+    Returns an (H, W) int32 label map with ids in [0, K) where K is the
+    actual grid size (close to n_segments).  Labels are NOT guaranteed
+    4-connected; call native.enforce_connectivity for strict parity.
+    """
+    h, w, _ = image.shape
+    centers_yx_np, step = _init_centers(h, w, n_segments)
+    k = centers_yx_np.shape[0]
+
+    img01 = image.astype(jnp.float32) / 255.0
+    lab = rgb_to_lab(img01)  # (H, W, 3)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    # feature per pixel: (L, a, b, y, x)
+    pix = jnp.concatenate(
+        [lab.reshape(-1, 3),
+         jnp.stack([yy.reshape(-1), xx.reshape(-1)], axis=-1)], axis=-1)
+
+    # initial centers: sample LAB at grid positions
+    cy = jnp.asarray(centers_yx_np[:, 0])
+    cx = jnp.asarray(centers_yx_np[:, 1])
+    c_lab = lab[jnp.clip(cy.astype(jnp.int32), 0, h - 1),
+                jnp.clip(cx.astype(jnp.int32), 0, w - 1)]
+    centers = jnp.concatenate([c_lab, jnp.stack([cy, cx], axis=-1)],
+                              axis=-1)  # (K, 5)
+
+    ratio2 = (compactness / step) ** 2
+    scale = jnp.asarray([1.0, 1.0, 1.0, ratio2 ** 0.5, ratio2 ** 0.5],
+                        jnp.float32)
+
+    def assign(centers):
+        ps = pix * scale[None, :]
+        cs = centers * scale[None, :]
+        d2_raw = (jnp.sum(ps * ps, -1, keepdims=True)
+                  - 2.0 * ps @ cs.T
+                  + jnp.sum(cs * cs, -1)[None, :])  # (HW, K)
+        # window mask: only centers within 2*step in y and x compete
+        dy = jnp.abs(pix[:, 3:4] - centers[None, :, 3])
+        dx = jnp.abs(pix[:, 4:5] - centers[None, :, 4])
+        in_win = (dy <= 2.0 * step) & (dx <= 2.0 * step)
+        d2 = jnp.where(in_win, d2_raw, jnp.inf)
+        # fall back to unmasked distance if a pixel sees no center
+        # (cannot happen on a regular grid, kept for safety)
+        d2 = jnp.where(jnp.any(in_win, axis=1, keepdims=True), d2, d2_raw)
+        return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+    def update(labels):
+        sums = jax.ops.segment_sum(pix, labels, num_segments=k)
+        cnts = jax.ops.segment_sum(jnp.ones((h * w,), jnp.float32), labels,
+                                   num_segments=k)
+        return jnp.where(cnts[:, None] > 0, sums / jnp.maximum(
+            cnts[:, None], 1.0), centers)
+
+    def body(_, carry):
+        centers = carry
+        labels = assign(centers)
+        return update(labels)
+
+    centers = jax.lax.fori_loop(0, n_iter, body, centers)
+    labels = assign(centers)
+    return labels.reshape(h, w)

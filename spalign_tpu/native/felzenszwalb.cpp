@@ -1,0 +1,263 @@
+// Felzenszwalb-Huttenlocher graph-based image segmentation, plus a
+// connectivity/min-size post-pass shared with the device SLIC path.
+//
+// Host-side native op of the spalign_tpu framework.  The reference relied
+// on scikit-image's Cython implementation (reference
+// batch_spalign_kmeans.py:28,299-313); this is a fresh C++ implementation
+// of the published algorithm (Felzenszwalb & Huttenlocher, IJCV 2004)
+// with skimage-compatible conventions:
+//   * per-channel Gaussian pre-smoothing (sigma, truncate=4, reflect)
+//   * 8-connected grid graph, edge weight = Euclidean color distance
+//   * threshold function tau(C) = scale / |C|
+//   * post-merge of components smaller than min_size
+//   * contiguous labels ordered by first raster occurrence
+//
+// Exposed via ctypes (see native/__init__.py); no Python objects cross
+// the boundary.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+struct DisjointSet {
+  std::vector<int32_t> parent;
+  std::vector<int32_t> rank_;
+  std::vector<int32_t> size;
+
+  explicit DisjointSet(int32_t n) : parent(n), rank_(n, 0), size(n, 1) {
+    std::iota(parent.begin(), parent.end(), 0);
+  }
+
+  int32_t find(int32_t x) {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int32_t next = parent[x];
+      parent[x] = root;
+      x = next;
+    }
+    return root;
+  }
+
+  int32_t merge(int32_t a, int32_t b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return a;
+    if (rank_[a] < rank_[b]) std::swap(a, b);
+    parent[b] = a;
+    size[a] += size[b];
+    if (rank_[a] == rank_[b]) rank_[a]++;
+    return a;
+  }
+};
+
+// Separable Gaussian blur, reflect boundary, truncate = 4 sigma.
+void gaussian_blur(const float* src, float* dst, int h, int w, int stride_c,
+                   float sigma) {
+  if (sigma <= 0.f) {
+    std::memcpy(dst, src, sizeof(float) * h * w);
+    return;
+  }
+  int radius = std::max(1, (int)std::ceil(4.0f * sigma));
+  std::vector<float> k(radius + 1);
+  float s2 = 2.f * sigma * sigma;
+  float norm = 0.f;
+  for (int i = 0; i <= radius; ++i) {
+    k[i] = std::exp(-(float)(i * i) / s2);
+    norm += (i == 0) ? k[i] : 2.f * k[i];
+  }
+  for (int i = 0; i <= radius; ++i) k[i] /= norm;
+
+  auto reflect = [](int i, int n) {
+    // scipy 'reflect' (a b c | c b a)
+    if (n == 1) return 0;
+    int period = 2 * n;
+    i = ((i % period) + period) % period;
+    return (i < n) ? i : (period - 1 - i);
+  };
+
+  std::vector<float> tmp((size_t)h * w);
+  // horizontal
+  for (int y = 0; y < h; ++y) {
+    const float* row = src + (size_t)y * w;
+    float* out = tmp.data() + (size_t)y * w;
+    for (int x = 0; x < w; ++x) {
+      float acc = k[0] * row[x];
+      for (int r = 1; r <= radius; ++r) {
+        acc += k[r] * (row[reflect(x - r, w)] + row[reflect(x + r, w)]);
+      }
+      out[x] = acc;
+    }
+  }
+  // vertical
+  for (int y = 0; y < h; ++y) {
+    float* out = dst + (size_t)y * w;
+    for (int x = 0; x < w; ++x) {
+      float acc = k[0] * tmp[(size_t)y * w + x];
+      for (int r = 1; r <= radius; ++r) {
+        acc += k[r] * (tmp[(size_t)reflect(y - r, h) * w + x] +
+                       tmp[(size_t)reflect(y + r, h) * w + x]);
+      }
+      out[x] = acc;
+    }
+  }
+  (void)stride_c;
+}
+
+struct Edge {
+  float w;
+  int32_t a, b;
+};
+
+// Relabel root ids to contiguous 0..S-1 by first raster occurrence.
+int32_t relabel(DisjointSet& ds, int32_t n, int32_t* labels_out) {
+  std::vector<int32_t> remap(n, -1);
+  int32_t next = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t r = ds.find(i);
+    if (remap[r] < 0) remap[r] = next++;
+    labels_out[i] = remap[r];
+  }
+  return next;
+}
+
+}  // namespace
+
+extern "C" {
+
+// img: (h, w, c) float32 row-major, any value scale (caller normalizes).
+// labels_out: (h, w) int32.  Returns the number of segments, or -1 on
+// invalid arguments.
+int32_t spalign_felzenszwalb(const float* img, int32_t h, int32_t w,
+                             int32_t c, float scale, float sigma,
+                             int32_t min_size, int32_t* labels_out) {
+  if (h <= 0 || w <= 0 || c <= 0 || !img || !labels_out) return -1;
+  const int64_t n = (int64_t)h * w;
+
+  // Smooth each channel into planar layout.
+  std::vector<float> smooth((size_t)c * n);
+  {
+    std::vector<float> plane(n);
+    for (int ch = 0; ch < c; ++ch) {
+      for (int64_t i = 0; i < n; ++i) plane[i] = img[i * c + ch];
+      gaussian_blur(plane.data(), smooth.data() + (size_t)ch * n, h, w, 0,
+                    sigma);
+    }
+  }
+
+  auto color_dist = [&](int64_t p, int64_t q) {
+    float acc = 0.f;
+    for (int ch = 0; ch < c; ++ch) {
+      float d = smooth[(size_t)ch * n + p] - smooth[(size_t)ch * n + q];
+      acc += d * d;
+    }
+    return std::sqrt(acc);
+  };
+
+  // 8-connected edges: E, S, SE, SW per pixel.
+  std::vector<Edge> edges;
+  edges.reserve((size_t)4 * n);
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      int64_t p = (int64_t)y * w + x;
+      if (x + 1 < w)
+        edges.push_back({color_dist(p, p + 1), (int32_t)p, (int32_t)(p + 1)});
+      if (y + 1 < h)
+        edges.push_back({color_dist(p, p + w), (int32_t)p, (int32_t)(p + w)});
+      if (x + 1 < w && y + 1 < h)
+        edges.push_back(
+            {color_dist(p, p + w + 1), (int32_t)p, (int32_t)(p + w + 1)});
+      if (x > 0 && y + 1 < h)
+        edges.push_back(
+            {color_dist(p, p + w - 1), (int32_t)p, (int32_t)(p + w - 1)});
+    }
+  }
+  std::stable_sort(edges.begin(), edges.end(),
+                   [](const Edge& e1, const Edge& e2) { return e1.w < e2.w; });
+
+  DisjointSet ds((int32_t)n);
+  std::vector<float> threshold(n, scale);  // tau(C) = scale / |C|, |C|=1
+  for (const Edge& e : edges) {
+    int32_t a = ds.find(e.a);
+    int32_t b = ds.find(e.b);
+    if (a == b) continue;
+    if (e.w <= threshold[a] && e.w <= threshold[b]) {
+      int32_t m = ds.merge(a, b);
+      threshold[m] = e.w + scale / (float)ds.size[m];
+    }
+  }
+
+  // Post-pass: absorb small components.
+  if (min_size > 1) {
+    for (const Edge& e : edges) {
+      int32_t a = ds.find(e.a);
+      int32_t b = ds.find(e.b);
+      if (a != b && (ds.size[a] < min_size || ds.size[b] < min_size)) {
+        ds.merge(a, b);
+      }
+    }
+  }
+
+  return relabel(ds, (int32_t)n, labels_out);
+}
+
+// Enforce 4-connectivity of an arbitrary label map (e.g. device SLIC
+// output) and absorb connected components smaller than min_size into an
+// adjacent component.  labels_in/labels_out: (h, w) int32.  Returns the
+// number of segments.
+int32_t spalign_enforce_connectivity(const int32_t* labels_in, int32_t h,
+                                     int32_t w, int32_t min_size,
+                                     int32_t* labels_out) {
+  if (h <= 0 || w <= 0 || !labels_in || !labels_out) return -1;
+  const int64_t n = (int64_t)h * w;
+  DisjointSet ds((int32_t)n);
+  // union same-label 4-neighbors
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      int64_t p = (int64_t)y * w + x;
+      if (x + 1 < w && labels_in[p] == labels_in[p + 1])
+        ds.merge((int32_t)p, (int32_t)(p + 1));
+      if (y + 1 < h && labels_in[p] == labels_in[p + w])
+        ds.merge((int32_t)p, (int32_t)(p + w));
+    }
+  }
+  // absorb small components into any 4-neighbor component (preferring the
+  // earlier-merged larger one by scanning until stable)
+  if (min_size > 1) {
+    bool changed = true;
+    while (changed) {
+      changed = false;
+      for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+          int32_t p = (int32_t)((int64_t)y * w + x);
+          int32_t rp = ds.find(p);
+          if (ds.size[rp] >= min_size) continue;
+          int32_t best = -1, best_size = -1;
+          auto consider = [&](int32_t q) {
+            int32_t rq = ds.find(q);
+            if (rq != rp && ds.size[rq] > best_size) {
+              best = rq;
+              best_size = ds.size[rq];
+            }
+          };
+          if (x + 1 < w) consider(p + 1);
+          if (x > 0) consider(p - 1);
+          if (y + 1 < h) consider(p + w);
+          if (y > 0) consider(p - w);
+          if (best >= 0) {
+            ds.merge(rp, best);
+            changed = true;
+          }
+        }
+      }
+    }
+  }
+  return relabel(ds, (int32_t)n, labels_out);
+}
+
+}  // extern "C"

@@ -1,0 +1,77 @@
+"""Superpixel frontend: one interface, two engines.
+
+- 'felzenszwalb': native C++ host op (the reference's headline
+  configuration, batch_spalign_kmeans.py:301-307; canonical hyperparams
+  scale=300 sigma=0.8 min_size=20 from utils/create_val_labels.sh).
+  Per-image host work fanned out over a thread pool while the TPU runs
+  the feature extractor.
+- 'slic': on-device XLA program (kernels/slic.py), vmapped over the
+  batch; optional host connectivity pass for skimage parity.
+
+Output convention: (B, H, W) int32 maps with per-image contiguous ids in
+[0, n_superpixels[i]), plus the per-image counts — the padded-dense form
+the rest of the pipeline consumes.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spalign_tpu import native
+from spalign_tpu.config import SuperpixelConfig
+from spalign_tpu.kernels.slic import slic
+
+
+def _felzenszwalb_batch(images_hwc: np.ndarray, cfg: SuperpixelConfig,
+                        workers: int = 8):
+    def one(img):
+        return native.felzenszwalb(
+            img.astype(np.float32) / 255.0,
+            scale=cfg.felzenszwalb_scale,
+            sigma=cfg.felzenszwalb_sigma,
+            min_size=cfg.felzenszwalb_min_size)
+
+    if len(images_hwc) == 1:
+        maps = [one(images_hwc[0])]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            maps = list(ex.map(one, images_hwc))
+    return np.stack(maps)
+
+
+def _slic_batch(images_hwc, cfg: SuperpixelConfig):
+    f = jax.vmap(lambda im: slic(im, n_segments=cfg.n_slic_segments,
+                                 compactness=cfg.slic_compactness,
+                                 n_iter=cfg.slic_iters))
+    labels = np.asarray(jax.device_get(f(jnp.asarray(images_hwc))))
+    # skimage parity: enforce 4-connectivity, absorb tiny fragments
+    min_size = max(1, (labels.shape[1] * labels.shape[2])
+                   // (cfg.n_slic_segments * 4))
+    out = np.stack([native.enforce_connectivity(l, min_size=min_size)
+                    for l in labels])
+    return out
+
+
+def compute_superpixels(images_hwc, cfg: SuperpixelConfig):
+    """images_hwc: (B, H, W, 3) uint8/float RGB.
+
+    Returns (superpixels (B, H, W) int32 contiguous per image,
+             counts (B,) int32).
+    """
+    images_hwc = np.asarray(images_hwc)
+    if cfg.method == "felzenszwalb":
+        maps = _felzenszwalb_batch(images_hwc, cfg)
+    elif cfg.method == "slic":
+        maps = _slic_batch(images_hwc, cfg)
+    else:
+        raise ValueError(f"unknown superpixel method: {cfg.method!r}")
+    counts = maps.max(axis=(1, 2)) + 1
+    if counts.max() > cfg.max_superpixels:
+        raise ValueError(
+            f"image produced {counts.max()} superpixels > bound "
+            f"{cfg.max_superpixels}; raise SuperpixelConfig.max_superpixels")
+    return maps.astype(np.int32), counts.astype(np.int32)

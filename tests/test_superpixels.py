@@ -1,0 +1,138 @@
+"""Tests for the superpixel frontend: native felzenszwalb + device SLIC."""
+
+import numpy as np
+import pytest
+
+from spalign_tpu import native
+from spalign_tpu.config import SuperpixelConfig
+from spalign_tpu.data.synthetic import SyntheticRoadScenes
+from spalign_tpu.pipeline import compute_superpixels
+
+
+@pytest.fixture(scope="module")
+def scene():
+    ds = SyntheticRoadScenes(n=1, full_shape=(224, 224), seed=3)
+    img, labels = ds[0]
+    return img, labels
+
+
+class TestFelzenszwalbNative:
+    def test_builds_and_runs(self, scene):
+        img, _ = scene
+        labels = native.felzenszwalb(img.astype(np.float32) / 255.0,
+                                     scale=300.0, sigma=0.8, min_size=20)
+        assert labels.shape == img.shape[:2]
+        assert labels.dtype == np.int32
+        n = labels.max() + 1
+        # contiguous ids
+        assert set(np.unique(labels)) == set(range(n))
+        # min_size respected
+        sizes = np.bincount(labels.ravel())
+        assert sizes.min() >= 20
+        # plausible segment count for a structured 224x224 scene
+        assert 4 <= n <= 2000
+
+    def test_deterministic(self, scene):
+        img, _ = scene
+        a = native.felzenszwalb(img / 255.0, 300.0, 0.8, 20)
+        b = native.felzenszwalb(img / 255.0, 300.0, 0.8, 20)
+        np.testing.assert_array_equal(a, b)
+
+    def test_uniform_image_single_segment(self):
+        img = np.full((64, 64, 3), 0.5, np.float32)
+        labels = native.felzenszwalb(img, 100.0, 0.8, 20)
+        assert labels.max() == 0
+
+    def test_two_region_image(self):
+        img = np.zeros((64, 64, 3), np.float32)
+        img[:, 32:] = 1.0
+        labels = native.felzenszwalb(img, 1.0, 0.0, 5)
+        assert labels.max() == 1
+        assert (labels[:, :32] == labels[0, 0]).all()
+        assert (labels[:, 32:] == labels[0, 63]).all()
+
+    def test_scale_monotonicity(self, scene):
+        """Larger scale -> coarser segmentation (fewer segments)."""
+        img, _ = scene
+        n_small = native.felzenszwalb(img / 255.0, 50.0, 0.8, 20).max() + 1
+        n_large = native.felzenszwalb(img / 255.0, 800.0, 0.8, 20).max() + 1
+        assert n_large <= n_small
+
+    def test_connected_components(self, scene):
+        """Every felzenszwalb segment must already be 4-connected after
+        enforce_connectivity is a no-op relabel... (sanity of the CCL op)"""
+        img, _ = scene
+        labels = native.felzenszwalb(img / 255.0, 300.0, 0.8, 20)
+        again = native.enforce_connectivity(labels, min_size=1)
+        # same partition (ids may be renamed)
+        pairs = set(zip(labels.ravel().tolist(), again.ravel().tolist()))
+        assert len(pairs) == len(set(p[0] for p in pairs))
+        assert len(pairs) == len(set(p[1] for p in pairs))
+
+
+class TestEnforceConnectivity:
+    def test_splits_disconnected_regions(self):
+        lab = np.zeros((10, 10), np.int32)
+        lab[:, 6:] = 1
+        lab[4:6, 2:4] = 1  # disconnected island with the same id
+        out = native.enforce_connectivity(lab, min_size=1)
+        # 3 connected components now
+        assert out.max() + 1 == 3
+        assert len(np.unique(out[4:6, 2:4])) == 1
+        assert out[4, 2] != out[0, 7]
+
+    def test_absorbs_small(self):
+        lab = np.zeros((10, 10), np.int32)
+        lab[5, 5] = 1  # 1-pixel island
+        out = native.enforce_connectivity(lab, min_size=4)
+        assert out.max() == 0
+
+
+class TestSLIC:
+    def test_device_slic_structure(self, scene):
+        img, _ = scene
+        from spalign_tpu.kernels.slic import slic
+
+        labels = np.asarray(slic(img.astype(np.float32), n_segments=100,
+                                 n_iter=5))
+        assert labels.shape == img.shape[:2]
+        n = labels.max() + 1
+        assert 50 <= n <= 150
+        # superpixels roughly balanced: no segment should dominate
+        sizes = np.bincount(labels.ravel(), minlength=n)
+        assert sizes.max() < labels.size * 0.2
+
+    def test_slic_locality(self, scene):
+        """SLIC superpixels must be spatially compact: mean pixel-to-
+        centroid distance bounded by ~2 grid steps."""
+        img, _ = scene
+        from spalign_tpu.kernels.slic import slic
+
+        labels = np.asarray(slic(img.astype(np.float32), n_segments=100,
+                                 n_iter=5))
+        h, w = labels.shape
+        step = (h * w / 100) ** 0.5
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        for s in np.unique(labels):
+            m = labels == s
+            cy, cx = yy[m].mean(), xx[m].mean()
+            d = np.sqrt((yy[m] - cy) ** 2 + (xx[m] - cx) ** 2).mean()
+            assert d < 2.5 * step
+
+    def test_batch_frontend_slic(self, scene):
+        img, _ = scene
+        imgs = np.stack([img, img[:, ::-1]])
+        cfg = SuperpixelConfig(method="slic", n_slic_segments=80,
+                               slic_iters=4)
+        maps, counts = compute_superpixels(imgs, cfg)
+        assert maps.shape == (2, 224, 224)
+        assert (counts >= 40).all()
+        for b in range(2):
+            assert set(np.unique(maps[b])) == set(range(counts[b]))
+
+    def test_batch_frontend_felzenszwalb(self, scene):
+        img, _ = scene
+        cfg = SuperpixelConfig(method="felzenszwalb")
+        maps, counts = compute_superpixels(img[None], cfg)
+        assert maps.shape == (1, 224, 224)
+        assert counts[0] == maps[0].max() + 1
