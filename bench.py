@@ -1,0 +1,75 @@
+"""Benchmark: label-generation throughput on real TPU hardware.
+
+Measures the framework's headline workload — the superpixel-align
+road-label pipeline (DRN-C-26 features + on-device SLIC superpixels +
+align + prior + joint weighted k-means + mask painting) — in steady state
+at the reference configuration (clustering batch 30, 224x224 inputs,
+k=4, 10 anchors).
+
+Baseline derivation (no throughput numbers are published for the
+reference; see BASELINE.md): the reference's per-batch wall clock on one
+2017-class GPU decomposes as DRN forward (~0.6 s / 30 imgs), felzenszwalb
+on CPU (~0.05 s/img), the per-superpixel Python align loop (dominant:
+~0.3-0.7 s/img of tiny CuPy kernel launches), prior (host numpy), and
+GPU k-means (~1-2 s/batch) — roughly 25 s per 30-image batch, i.e.
+~1.2 img/s. vs_baseline reports against that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 1.2  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spalign_tpu.config import LabelGenConfig, SuperpixelConfig
+    from spalign_tpu.data.synthetic import SyntheticRoadScenes
+    from spalign_tpu.pipeline.label_gen import SpalignLabelGenerator
+
+    batch = 30
+    cfg = LabelGenConfig(
+        batchsize=batch,
+        superpixel=SuperpixelConfig(method="slic", n_slic_segments=100,
+                                    slic_iters=10, max_superpixels=256),
+        save_masks=False)
+
+    n_batches_timed = 5
+    ds = SyntheticRoadScenes(n=batch * 2, full_shape=(1024, 2048), seed=7)
+    gen = SpalignLabelGenerator(cfg)
+
+    # Host-side image prep (decode/resize) is pipelined off the clock in
+    # production; prepare batches up front so we measure the pipeline.
+    imgs_a, _ = ds.resized_batch(range(batch), cfg.resize_shape)
+    imgs_b, _ = ds.resized_batch(range(batch, 2 * batch), cfg.resize_shape)
+    batches = [imgs_a, imgs_b]
+
+    # Warmup: compile every program involved.
+    for b in batches:
+        road, _, _, _ = gen.run_batch(b)
+    jax.block_until_ready(road)
+
+    t0 = time.time()
+    for i in range(n_batches_timed):
+        road, _, diag, _ = gen.run_batch(batches[i % 2])
+    jax.block_until_ready(road)
+    dt = time.time() - t0
+
+    imgs_per_sec = batch * n_batches_timed / dt
+    print(json.dumps({
+        "metric": "label_gen_images_per_sec",
+        "value": round(float(imgs_per_sec), 3),
+        "unit": "img/s",
+        "vs_baseline": round(float(imgs_per_sec / REFERENCE_IMAGES_PER_SEC),
+                             2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,44 @@ from __future__ import annotations
 import numpy as np
 
 
+def _value_noise(rng, h, w, cell, amp):
+    """Bilinearly-upsampled random grid: medium-frequency texture that
+    survives cubic downsampling to 224x224 (so felzenszwalb finds a
+    realistic ~10^2 superpixel count, as on real street imagery)."""
+    gh, gw = max(2, h // cell + 2), max(2, w // cell + 2)
+    grid = rng.randn(gh, gw).astype(np.float32)
+    ys = np.linspace(0, gh - 1.001, h)
+    xs = np.linspace(0, gw - 1.001, w)
+    y0 = ys.astype(int)
+    x0 = xs.astype(int)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    g = (grid[y0][:, x0] * (1 - fy) * (1 - fx)
+         + grid[y0 + 1][:, x0] * fy * (1 - fx)
+         + grid[y0][:, x0 + 1] * (1 - fy) * fx
+         + grid[y0 + 1][:, x0 + 1] * fy * fx)
+    return amp * g
+
+
+def _block_noise(rng, h, w, cell, amp):
+    """Nearest-upsampled random mosaic: SHARP patch boundaries (windows,
+    bricks, asphalt patches) that felzenszwalb-style algorithms segment
+    the way they segment real street texture."""
+    gh, gw = h // cell + 1, w // cell + 1
+    grid = rng.randn(gh, gw).astype(np.float32)
+    return amp * grid[np.arange(h) // cell][:, np.arange(w) // cell]
+
+
+def _texture(rng, h, w, octaves=((96, 14.0), (48, 10.0)),
+             smooth=((160, 10.0),)):
+    t = np.zeros((h, w), np.float32)
+    for cell, amp in octaves:
+        t += _block_noise(rng, h, w, cell, amp)
+    for cell, amp in smooth:
+        t += _value_noise(rng, h, w, cell, amp)
+    return t
+
+
 class SyntheticRoadScenes:
     """Dataset-like generator: scenes[i] -> (img_hwc uint8, label_ids uint8).
 
@@ -106,6 +144,16 @@ class SyntheticRoadScenes:
             [rng.uniform(60, 220), rng.uniform(60, 220),
              rng.uniform(60, 220)], np.float32)
 
+        # Region-dependent medium-frequency texture: real street scenes
+        # keep superpixel algorithms busy even after downsampling.
+        tex = _texture(rng, h, w)
+        img[building] += (tex[building] * 1.6)[..., None]
+        img[sidewalk] += (tex[sidewalk] * 0.9)[..., None]
+        img[road] += (tex[road] * 0.7)[..., None]
+        img[sky] += (tex[sky] * 0.35)[..., None]
+        # mild chroma variation so segments differ in color too
+        img[..., 0] += _value_noise(rng, h, w, 120, 9.0)
+        img[..., 2] += _value_noise(rng, h, w, 90, 9.0)
         img += rng.randn(h, w, 3) * 4.0
         return np.clip(img, 0, 255).astype(np.uint8), labels
 

@@ -1,0 +1,2 @@
+from spalign_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
+                                       data_sharding)

@@ -1,0 +1,288 @@
+"""Label generation: the whole-image road-mask program, TPU-first.
+
+Reference pipeline (batch_spalign_kmeans.py): DRN features -> CPU
+superpixels -> per-superpixel Python align loop -> host prior -> GPU
+k-means -> host upsample/score/save, with HOST<->GPU transfers at every
+stage (SURVEY.md §3.1).
+
+Here everything between image batch and per-image confusion matrix is ONE
+jit-compiled device program:
+
+    images (B,h,w,3) ----> DRN-C-26 -> concat maps     (MXU convs)
+    superpixels (B,h,w) -> align -> prior -> joint weighted k-means
+                        -> painted masks -> (optional) full-res confusion
+
+Only the superpixel frontend may touch the host (felzenszwalb mode; SLIC
+runs on device), and only tiny confusion matrices (B x 2 x 2 ints) leave
+the chip in the scoring path.  Saving masks/images is optional and off
+the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spalign_tpu.config import LabelGenConfig, flatten
+from spalign_tpu.data.labels import create_label_mask
+from spalign_tpu.eval.results import ResultWriter
+from spalign_tpu.models.drn import DRN_FACTORIES, preprocess_imagenet
+from spalign_tpu.ops.align import superpixel_align
+from spalign_tpu.ops.kmeans import paint_clusters, weighted_kmeans
+from spalign_tpu.ops.metrics import confusion_matrix
+from spalign_tpu.ops.prior import pixel_prior
+from spalign_tpu.ops.resize import nn_resize_cv2
+from spalign_tpu.ops.segments import segment_mean
+from spalign_tpu.pipeline.superpixels import compute_superpixels
+from spalign_tpu.utils.timers import StageTimer
+
+
+def build_feature_fn(model, variables, use_maps):
+    """(B,h,w,3) float RGB 0..255 -> (B,hf,wf,C) concatenated DRN maps."""
+
+    def features(images):
+        x = preprocess_imagenet(images)
+        _, maps = model.apply(variables, x, train=False)
+        return jnp.concatenate([maps[i] for i in use_maps], axis=-1)
+
+    return features
+
+
+@partial(jax.jit, static_argnames=("n_anchors", "num_segments",
+                                   "append_pos", "k", "n_iter",
+                                   "prior_params"))
+def spalign_cluster(feature_maps, superpixels, key, *, n_anchors: int,
+                    num_segments: int, append_pos: bool, k: int,
+                    n_iter: int, prior_params):
+    """The fused align+prior+k-means device program (no feature extractor;
+    composable with any feature fn so baselines share it).
+
+    Args:
+      feature_maps: (B, hf, wf, C) float.
+      superpixels: (B, h, w) int32, per-image contiguous ids.
+      key: PRNG key (anchor sampling + k-means seeding shuffle).
+      prior_params: (y_rel_pos, x_rel_pos, y_rel_sigma, x_rel_sigma).
+
+    Returns: road_masks (B,h,w) bool, cluster_maps (B,h,w) int32,
+      assignment (B,S) int32, kmeans diagnostics.
+    """
+    b, h, w = superpixels.shape
+    s = num_segments
+
+    k_align, k_seed = jax.random.split(key)
+    align_keys = jax.random.split(k_align, b)
+    feats, valid = jax.vmap(
+        lambda fm, sp, kk: superpixel_align(
+            fm, sp, kk, n_anchors, s, append_pos)
+    )(feature_maps, superpixels, align_keys)  # (B,S,C'), (B,S)
+
+    prior_pix = pixel_prior(h, w, *prior_params)  # (h,w) static
+    prior = jax.vmap(
+        lambda sp: segment_mean(prior_pix.reshape(-1), sp.reshape(-1), s)
+    )(superpixels)  # (B,S)
+
+    res = weighted_kmeans(feats.reshape(b * s, -1), prior.reshape(-1),
+                          valid.reshape(-1), k_seed, k=k, n_iter=n_iter)
+    assign = res.assignment.reshape(b, s)
+    cluster_maps = paint_clusters(superpixels, assign)
+    road_masks = cluster_maps == 0
+    return road_masks, cluster_maps, assign, res
+
+
+@partial(jax.jit, static_argnames=("full_hw",))
+def score_full_res(road_masks, labels_full, full_hw):
+    """Upsample masks NN (cv2 convention) to full resolution and compute
+    per-image 2x2 confusion matrices on device.  Only (B,2,2) ints leave
+    the chip."""
+    up = nn_resize_cv2(road_masks.astype(jnp.int32), full_hw)  # (B,H,W)
+    return jax.vmap(lambda p, g: confusion_matrix(p, g, 2))(up, labels_full)
+
+
+@partial(jax.jit, static_argnames=("full_hw",))
+def upsample_masks(road_masks, cluster_maps, full_hw):
+    return (nn_resize_cv2(road_masks.astype(jnp.uint8), full_hw),
+            nn_resize_cv2(cluster_maps.astype(jnp.uint8), full_hw))
+
+
+class SpalignLabelGenerator:
+    """End-to-end label generation over a dataset (reference
+    batch_spalign_kmeans.py main loop :533-548 + estimate_road_mask).
+
+    The retry-on-degenerate-clustering path fixes the reference's broken
+    recursion (:201-205, result discarded): if any image in the batch has
+    an all-empty road mask, the k-means re-runs with a fresh fold of the
+    key, up to cfg.kmeans.max_retries times.
+    """
+
+    def __init__(self, cfg: LabelGenConfig, variables=None,
+                 model_name: str = "drn_c_26", seed: Optional[int] = None):
+        self.cfg = cfg
+        self.model = DRN_FACTORIES[model_name](out_map=True,
+                                               out_middle=True)
+        if variables is None:
+            variables = self.model.init(
+                jax.random.key(0),
+                jnp.zeros((1, *cfg.resize_shape, 3), jnp.float32))
+        self.variables = variables
+        self.features = jax.jit(build_feature_fn(
+            self.model, self.variables, cfg.use_feature_maps))
+        self.key = jax.random.key(cfg.kmeans.seed
+                                  if seed is None else seed)
+        p = cfg.prior
+        self._prior_params = (p.y_rel_pos, p.x_rel_pos, p.y_rel_sigma,
+                              p.x_rel_sigma)
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def run_batch(self, images_uint8, timers: Optional[StageTimer] = None):
+        """images_uint8: (B,h,w,3) RGB at cfg.resize_shape.
+
+        Returns (road_masks (B,h,w) bool np, cluster_maps int32 np,
+        diagnostics dict)."""
+        cfg = self.cfg
+        timers = timers or StageTimer()
+        with timers.stage("superpixel"):
+            sps, counts = compute_superpixels(images_uint8, cfg.superpixel)
+        with timers.stage("feature_maps"):
+            fmaps = self.features(
+                jnp.asarray(images_uint8, jnp.float32))
+        sps_dev = jnp.asarray(sps)
+
+        s = cfg.superpixel.max_superpixels
+        road = cluster = assign = None
+        with timers.stage("kmeans"):
+            for attempt in range(max(1, cfg.kmeans.max_retries)):
+                road, cluster, assign, res = spalign_cluster(
+                    fmaps, sps_dev, self._next_key(),
+                    n_anchors=cfg.align.n_anchors, num_segments=s,
+                    append_pos=cfg.align.append_pos,
+                    k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
+                    prior_params=self._prior_params)
+                per_img_road = jnp.any(road, axis=(1, 2))
+                if bool(per_img_road.all()):
+                    break
+        diag = {
+            "kmeans_iters": int(res.n_iter),
+            "kmeans_converged": bool(res.converged),
+            "kmeans_empty_stop": bool(res.empty_stop),
+            "n_superpixels": counts.tolist(),
+        }
+        return road, cluster, diag, timers
+
+    def process_dataset(self, dataset, start_index: int = 0,
+                        end_index: Optional[int] = None,
+                        save: Optional[bool] = None,
+                        writer: Optional[ResultWriter] = None):
+        """Iterate a dataset of (img_uint8_full, label_ids) pairs in
+        clustering batches, mirroring the reference main loop (including
+        its keep-the-batchsize tail overlap, :538-544).  Returns the list
+        of per-image records."""
+        cfg = self.cfg
+        n = len(dataset)
+        end_index = n if end_index is None else min(end_index, n)
+        save = cfg.save_masks if save is None else save
+        if writer is None and (save or cfg.save_images):
+            writer = ResultWriter(cfg.out_dir)
+        records = []
+        bs = cfg.batchsize
+        i = start_index
+        while i < end_index:
+            if i + bs >= end_index and end_index - bs >= 0:
+                i = max(start_index, end_index - bs)
+                j = end_index
+            else:
+                j = min(i + bs, end_index)
+            records.extend(self._process_slice(dataset, i, j, save, writer))
+            i = j
+        return records
+
+    def _process_slice(self, dataset, i, j, save, writer):
+        cfg = self.cfg
+        timers = StageTimer()
+        with timers.stage("load"):
+            imgs, labels = _load_batch(dataset, range(i, j),
+                                       cfg.resize_shape)
+        road, cluster, diag, timers = self.run_batch(imgs, timers)
+
+        records = []
+        if labels is not None:
+            gt = np.stack([create_label_mask(l) for l in labels])
+            with timers.stage("score"):
+                confs = np.asarray(score_full_res(
+                    road, jnp.asarray(gt), tuple(gt.shape[1:])))
+        else:
+            confs = [None] * (j - i)
+
+        if save:
+            up_road, up_cluster = (np.asarray(a) for a in upsample_masks(
+                road, cluster,
+                tuple(labels.shape[1:]) if labels is not None
+                else road.shape[1:]))
+            os.makedirs(cfg.out_dir, exist_ok=True)
+
+        times = timers.finish()
+        for b, idx in enumerate(range(i, j)):
+            img_fn = _name(dataset, "image_name", idx)
+            rec = {"img_fn": img_fn,
+                   "label_fn": _name(dataset, "label_name", idx)}
+            if confs[b] is not None:
+                rec.update(_confusion_record(confs[b]))
+            rec.update(flatten(cfg))
+            rec.update(times)
+            rec.update(diag)
+            records.append(rec)
+            if save:
+                base = os.path.splitext(os.path.basename(img_fn))[0]
+                np.save(os.path.join(cfg.out_dir, base),
+                        up_road[b].astype(np.uint8))
+                np.save(os.path.join(cfg.out_dir, base + "_all_cluster"),
+                        up_cluster[b].astype(np.uint8))
+        if writer is not None:
+            writer.append_many(records)
+        return records
+
+
+def _confusion_record(conf) -> dict:
+    tp, fp, fn = int(conf[1, 1]), int(conf[0, 1]), int(conf[1, 0])
+    tn = int(conf[0, 0])
+    road_den = tp + fp + fn
+    non_den = tn + fp + fn
+    return {
+        "road_iou": tp / road_den if road_den else float("nan"),
+        "non_road_iou": tn / non_den if non_den else float("nan"),
+        "precision": tp / (tp + fp) if tp + fp > 0 else None,
+        "recall": tp / (tp + fn) if tp + fn > 0 else None,
+        "TP": tp, "FP": fp, "FN": fn,
+    }
+
+
+def _name(dataset, attr, idx):
+    fn = getattr(dataset, attr, None)
+    return fn(idx) if callable(fn) else f"img_{idx:06d}.png"
+
+
+def _load_batch(dataset, indices, resize_hw):
+    """Fetch (B,h,w,3) uint8 resized images + full-res labels (or None)."""
+    if hasattr(dataset, "resized_batch"):
+        return dataset.resized_batch(list(indices), resize_hw)
+    import cv2
+
+    imgs, labels = [], []
+    for idx in indices:
+        item = dataset[idx]
+        img, lab = item if isinstance(item, tuple) else (item, None)
+        if img.shape[:2] != tuple(resize_hw):
+            img = cv2.resize(img, (resize_hw[1], resize_hw[0]),
+                             interpolation=cv2.INTER_CUBIC)
+        imgs.append(img)
+        labels.append(lab)
+    labels = None if labels[0] is None else np.stack(labels)
+    return np.stack(imgs), labels

@@ -1,0 +1,128 @@
+"""End-to-end label-generation pipeline tests (small shapes, CPU mesh).
+
+The analog of the reference's only test suite (utils/test.sh smoke runs,
+SURVEY.md §4.1) — but as real assertions on the outputs.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spalign_tpu.config import (KMeansConfig, LabelGenConfig,
+                                SuperpixelConfig)
+from spalign_tpu.data.synthetic import SyntheticRoadScenes
+from spalign_tpu.eval.results import (aggregate_results, read_results,
+                                      write_summary)
+from spalign_tpu.pipeline.label_gen import SpalignLabelGenerator
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("labelgen"))
+    cfg = LabelGenConfig(
+        batchsize=4,
+        resize_shape=(112, 112),
+        superpixel=SuperpixelConfig(method="slic", n_slic_segments=50,
+                                    slic_iters=4, max_superpixels=128),
+        kmeans=KMeansConfig(n_clusters=4),
+        out_dir=out, save_masks=True)
+    ds = SyntheticRoadScenes(n=6, full_shape=(256, 512), seed=21)
+    gen = SpalignLabelGenerator(cfg)
+    records = gen.process_dataset(ds)
+    return cfg, ds, records, out
+
+
+class TestEndToEnd:
+    def test_records_complete(self, pipeline_out):
+        cfg, ds, records, out = pipeline_out
+        # n=6, batchsize=4 -> batches [0:4] + [2:6]: 8 records, images 2-3
+        # twice (the reference's keep-the-batchsize tail rule; duplicates
+        # are dropped at aggregation time, as upstream mean_result does)
+        assert len(records) == 8
+        assert len({r["img_fn"] for r in records}) == 6
+        for r in records:
+            assert set(r) >= {"img_fn", "road_iou", "precision", "recall",
+                              "TP", "FP", "FN", "time_superpixel",
+                              "elapsed_time", "mode", "batchsize"}
+            assert 0.0 <= r["road_iou"] <= 1.0
+
+    def test_masks_saved_full_res(self, pipeline_out):
+        cfg, ds, records, out = pipeline_out
+        masks = sorted(glob.glob(os.path.join(out, "*leftImg8bit.npy")))
+        clusters = glob.glob(os.path.join(out, "*_all_cluster.npy"))
+        assert len(masks) == 6 and len(clusters) == 6
+        m = np.load(masks[0])
+        assert m.shape == (256, 512)  # upsampled to label resolution
+        assert m.dtype == np.uint8
+        assert set(np.unique(m)) <= {0, 1}
+
+    def test_jsonl_roundtrip_and_summary(self, pipeline_out):
+        cfg, ds, records, out = pipeline_out
+        parsed = read_results(os.path.join(out, "result.json"))
+        assert len(parsed) == 6
+        summary = write_summary(out, parsed)
+        assert os.path.exists(os.path.join(out, "summary.txt"))
+        assert summary["n"] == 6
+        assert 0 <= summary["road_mean_iou"] <= 1
+
+    def test_masks_structured_not_degenerate(self, pipeline_out):
+        """Even with a random-init DRN, prior + position features must
+        produce road masks concentrated at bottom-center — not empty,
+        not the whole image."""
+        cfg, ds, records, out = pipeline_out
+        fracs = []
+        for fn in glob.glob(os.path.join(out, "*leftImg8bit.npy")):
+            m = np.load(fn)
+            fracs.append(m.mean())
+            h = m.shape[0]
+            # more road in the bottom half than the top half
+            assert m[h // 2:].mean() >= m[: h // 2].mean()
+        assert all(0.01 < f < 0.95 for f in fracs), fracs
+
+    def test_tail_batch_overlap(self, pipeline_out):
+        """n=6 with batchsize 4 -> batches [0:4] and [2:6]; images 2-3
+        are processed twice (the reference's keep-the-batchsize rule);
+        dedup leaves one record per image."""
+        cfg, ds, records, out = pipeline_out
+        deduped = read_results(os.path.join(out, "result.json"), dedup=True)
+        assert len(deduped) == 6
+        assert len({r["img_fn"] for r in deduped}) == 6
+
+
+class TestNoLabelMode:
+    def test_runs_without_gt(self, tmp_path):
+        """utils/apply_spalign_kmeans.py equivalent: unlabeled frames."""
+
+        class Unlabeled:
+            def __init__(self, ds):
+                self.ds = ds
+
+            def __len__(self):
+                return len(self.ds)
+
+            def __getitem__(self, i):
+                return self.ds[i][0], None
+
+            def resized_batch(self, indices, hw):
+                imgs, _ = self.ds.resized_batch(indices, hw)
+                return imgs, None
+
+            def image_name(self, i):
+                return self.ds.image_name(i)
+
+        cfg = LabelGenConfig(
+            batchsize=3, resize_shape=(112, 112),
+            superpixel=SuperpixelConfig(method="slic", n_slic_segments=50,
+                                        slic_iters=3, max_superpixels=128),
+            out_dir=str(tmp_path), save_masks=True)
+        ds = Unlabeled(SyntheticRoadScenes(n=3, full_shape=(224, 224),
+                                           seed=5))
+        gen = SpalignLabelGenerator(cfg)
+        records = gen.process_dataset(ds)
+        assert len(records) == 3
+        assert all("road_iou" not in r for r in records)
+        assert len(glob.glob(os.path.join(str(tmp_path),
+                                          "*leftImg8bit.npy"))) == 3
