@@ -47,5 +47,12 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 
     Replaces chainermn.scatter_dataset + per-rank iterators
     (train_segnet.py:185-200): one logical batch, physically split."""
+    n = mesh.shape[axis]
+    for leaf in jax.tree.leaves(batch):
+        if leaf.shape[0] % n != 0:
+            raise ValueError(
+                f"global batch dim {leaf.shape[0]} is not divisible by the "
+                f"{n}-device '{axis}' mesh axis; pick a batch size that is "
+                f"a multiple of the device count")
     sh = data_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,123 @@
+"""Multi-round self-training driver, in-process.
+
+Reference: utils/run_train_rounds.py — a shell/process orchestra
+(mpiexec subprocess per round, a Pool of GPU workers + a writer process
+for relabeling).  Here every round runs in the same process on the same
+mesh: train -> relabel (batched inference, streamed zip) -> retrain
+resuming the full optimizer state from the previous round's snapshot,
+with the iteration budget extended by ``iteration`` per round (the
+reference's resume semantics, run_train_rounds.py:277-295).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import jax
+
+from spalign_tpu.config import RoundsConfig, TrainConfig
+from spalign_tpu.data.loader import PrefetchLoader
+from spalign_tpu.selftrain.relabel import relabel_dataset
+from spalign_tpu.train.checkpoints import (SnapshotCallback, find_snapshot,
+                                           load_snapshot)
+from spalign_tpu.train.trainer import Trainer
+
+
+class RoundsDriver:
+    """Orchestrates n_round train->relabel cycles.
+
+    Datasets are supplied as factories so each round can rebind the label
+    source to the previous round's output:
+
+      make_train_dataset(label_source: str|None) -> dataset for training
+          (label_source None = the initial estimated labels)
+      make_relabel_dataset() -> dataset for relabeling (images at input
+          res + full-res gt for bookkeeping)
+      make_val_batches() -> iterable of (images, labels) eval batches,
+          or None to skip eval
+    """
+
+    def __init__(self, cfg: RoundsConfig, train_cfg: TrainConfig,
+                 make_train_dataset: Callable,
+                 make_relabel_dataset: Callable,
+                 make_val_batches: Optional[Callable] = None,
+                 evaluator_factory: Optional[Callable] = None):
+        if cfg.test_mode:
+            cfg = dataclasses.replace(cfg, iteration=10, val_iteration=10,
+                                      n_round=3)
+        self.cfg = cfg
+        self.train_cfg = train_cfg
+        self.make_train_dataset = make_train_dataset
+        self.make_relabel_dataset = make_relabel_dataset
+        self.make_val_batches = make_val_batches
+        self.evaluator_factory = evaluator_factory
+        self.round_dirs = []
+
+    def _round_dir(self, n_round: int) -> str:
+        return os.path.join(self.cfg.result_base_dir,
+                            f"train_round{n_round}")
+
+    def _train_round(self, n_round: int, label_source: Optional[str],
+                     resume_state=None) -> str:
+        cfg = self.cfg
+        result_dir = self._round_dir(n_round)
+        tc = dataclasses.replace(
+            self.train_cfg,
+            train_iters=cfg.iteration * n_round,
+            val_interval=cfg.val_iteration,
+            log_interval=cfg.val_iteration,
+            loss=cfg.loss,
+            augment=cfg.augment,
+            batchsize=cfg.batchsize,
+            eval_shape=cfg.eval_shape,
+            result_dir=result_dir)
+
+        trainer = Trainer(tc)
+        if resume_state is not None:
+            trainer.state = jax.tree.map(jax.numpy.asarray, resume_state)
+
+        dataset = self.make_train_dataset(label_source)
+        loader = PrefetchLoader(dataset, tc.batchsize, shuffle=True,
+                                seed=tc.seed + n_round)
+        evaluator = None
+        if self.evaluator_factory is not None:
+            evaluator = self.evaluator_factory(trainer)
+        trainer.fit(iter(loader), evaluator=evaluator,
+                    checkpointer=SnapshotCallback(result_dir))
+        self.round_dirs.append(result_dir)
+        self._last_trainer = trainer
+        return result_dir
+
+    def _relabel(self, n_round: int, result_dir: str) -> str:
+        cfg = self.cfg
+        iteration = cfg.iteration * n_round
+        out_zip = os.path.join(
+            result_dir, f"iter-{iteration}_eval-train.0.zip")
+        trainer = self._last_trainer
+        soft = cfg.loss in ("soft", "mse")
+        relabel_dataset(
+            trainer.model, trainer.variables(),
+            self.make_relabel_dataset(), out_zip,
+            eval_shape=cfg.eval_shape, batch_size=cfg.batchsize,
+            soft_label=soft, mesh=trainer.mesh,
+            out_dir=os.path.join(result_dir,
+                                 f"iter-{iteration}_eval-train"))
+        return out_zip
+
+    def run(self, initial_label_source: Optional[str] = None):
+        """Full self-training: returns (final_result_dir, final_label_zip).
+
+        initial_label_source: labels for round 1 (the label-generation
+        output); subsequent rounds consume the previous relabel zip."""
+        cfg = self.cfg
+        result_dir = self._train_round(1, initial_label_source)
+        label_zip = self._relabel(1, result_dir)
+        prev_dir = result_dir
+        for n_round in range(2, cfg.n_round + 1):
+            state = load_snapshot(find_snapshot(prev_dir))
+            prev_dir = self._train_round(n_round, label_zip,
+                                         resume_state=state)
+            label_zip = self._relabel(n_round, prev_dir)
+        return prev_dir, label_zip
