@@ -110,15 +110,11 @@ def upsample_masks(road_masks, cluster_maps, full_hw):
             nn_resize_cv2(cluster_maps.astype(jnp.uint8), full_hw))
 
 
-class SpalignLabelGenerator:
-    """End-to-end label generation over a dataset (reference
-    batch_spalign_kmeans.py main loop :533-548 + estimate_road_mask).
+class LabelGeneratorBase:
+    """Shared host loop for the three label-generation modes
+    (spalign / direct / overlaps).  Subclasses implement run_batch."""
 
-    The retry-on-degenerate-clustering path fixes the reference's broken
-    recursion (:201-205, result discarded): if any image in the batch has
-    an all-empty road mask, the k-means re-runs with a fresh fold of the
-    key, up to cfg.kmeans.max_retries times.
-    """
+    needs_full_images = False
 
     def __init__(self, cfg: LabelGenConfig, variables=None,
                  model_name: str = "drn_c_26", seed: Optional[int] = None):
@@ -142,40 +138,8 @@ class SpalignLabelGenerator:
         self.key, k = jax.random.split(self.key)
         return k
 
-    def run_batch(self, images_uint8, timers: Optional[StageTimer] = None):
-        """images_uint8: (B,h,w,3) RGB at cfg.resize_shape.
-
-        Returns (road_masks (B,h,w) bool np, cluster_maps int32 np,
-        diagnostics dict)."""
-        cfg = self.cfg
-        timers = timers or StageTimer()
-        with timers.stage("superpixel"):
-            sps, counts = compute_superpixels(images_uint8, cfg.superpixel)
-        with timers.stage("feature_maps"):
-            fmaps = self.features(
-                jnp.asarray(images_uint8, jnp.float32))
-        sps_dev = jnp.asarray(sps)
-
-        s = cfg.superpixel.max_superpixels
-        road = cluster = assign = None
-        with timers.stage("kmeans"):
-            for attempt in range(max(1, cfg.kmeans.max_retries)):
-                road, cluster, assign, res = spalign_cluster(
-                    fmaps, sps_dev, self._next_key(),
-                    n_anchors=cfg.align.n_anchors, num_segments=s,
-                    append_pos=cfg.align.append_pos,
-                    k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
-                    prior_params=self._prior_params)
-                per_img_road = jnp.any(road, axis=(1, 2))
-                if bool(per_img_road.all()):
-                    break
-        diag = {
-            "kmeans_iters": int(res.n_iter),
-            "kmeans_converged": bool(res.converged),
-            "kmeans_empty_stop": bool(res.empty_stop),
-            "n_superpixels": counts.tolist(),
-        }
-        return road, cluster, diag, timers
+    def run_batch(self, images_uint8, timers=None, full_images=None):
+        raise NotImplementedError
 
     def process_dataset(self, dataset, start_index: int = 0,
                         end_index: Optional[int] = None,
@@ -210,7 +174,10 @@ class SpalignLabelGenerator:
         with timers.stage("load"):
             imgs, labels = _load_batch(dataset, range(i, j),
                                        cfg.resize_shape)
-        road, cluster, diag, timers = self.run_batch(imgs, timers)
+            full_images = (_load_full_images(dataset, range(i, j))
+                           if self.needs_full_images else None)
+        road, cluster, diag, timers = self.run_batch(
+            imgs, timers=timers, full_images=full_images)
 
         records = []
         if labels is not None:
@@ -222,10 +189,10 @@ class SpalignLabelGenerator:
             confs = [None] * (j - i)
 
         if save:
+            out_hw = (tuple(labels.shape[1:]) if labels is not None
+                      else tuple(road.shape[1:]))
             up_road, up_cluster = (np.asarray(a) for a in upsample_masks(
-                road, cluster,
-                tuple(labels.shape[1:]) if labels is not None
-                else road.shape[1:]))
+                road, cluster, out_hw))
             os.makedirs(cfg.out_dir, exist_ok=True)
 
         times = timers.finish()
@@ -245,9 +212,65 @@ class SpalignLabelGenerator:
                         up_road[b].astype(np.uint8))
                 np.save(os.path.join(cfg.out_dir, base + "_all_cluster"),
                         up_cluster[b].astype(np.uint8))
+                if cfg.save_images:
+                    from spalign_tpu.utils.viz import save_diagnostic_panel
+
+                    item = dataset[idx]
+                    save_diagnostic_panel(
+                        cfg.out_dir, img_fn, item[0],
+                        up_road[b], up_cluster[b],
+                        create_label_mask(item[1])
+                        if item[1] is not None else None)
         if writer is not None:
             writer.append_many(records)
         return records
+
+
+class SpalignLabelGenerator(LabelGeneratorBase):
+    """End-to-end label generation over a dataset (reference
+    batch_spalign_kmeans.py main loop :533-548 + estimate_road_mask).
+
+    The retry-on-degenerate-clustering path fixes the reference's broken
+    recursion (:201-205, result discarded): if any image in the batch has
+    an all-empty road mask, the k-means re-runs with a fresh fold of the
+    key, up to cfg.kmeans.max_retries times.
+    """
+
+    def run_batch(self, images_uint8, timers: Optional[StageTimer] = None,
+                  full_images=None):
+        """images_uint8: (B,h,w,3) RGB at cfg.resize_shape.
+
+        Returns (road_masks (B,h,w) bool np, cluster_maps int32 np,
+        diagnostics dict)."""
+        cfg = self.cfg
+        timers = timers or StageTimer()
+        with timers.stage("superpixel"):
+            sps, counts = compute_superpixels(images_uint8, cfg.superpixel)
+        with timers.stage("feature_maps"):
+            fmaps = self.features(
+                jnp.asarray(images_uint8, jnp.float32))
+        sps_dev = jnp.asarray(sps)
+
+        s = cfg.superpixel.max_superpixels
+        road = cluster = assign = None
+        with timers.stage("kmeans"):
+            for attempt in range(max(1, cfg.kmeans.max_retries)):
+                road, cluster, assign, res = spalign_cluster(
+                    fmaps, sps_dev, self._next_key(),
+                    n_anchors=cfg.align.n_anchors, num_segments=s,
+                    append_pos=cfg.align.append_pos,
+                    k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
+                    prior_params=self._prior_params)
+                per_img_road = jnp.any(road, axis=(1, 2))
+                if bool(per_img_road.all()):
+                    break
+        diag = {
+            "kmeans_iters": int(res.n_iter),
+            "kmeans_converged": bool(res.converged),
+            "kmeans_empty_stop": bool(res.empty_stop),
+            "n_superpixels": counts.tolist(),
+        }
+        return road, cluster, diag, timers
 
 
 def _confusion_record(conf) -> dict:
@@ -267,6 +290,16 @@ def _confusion_record(conf) -> dict:
 def _name(dataset, attr, idx):
     fn = getattr(dataset, attr, None)
     return fn(idx) if callable(fn) else f"img_{idx:06d}.png"
+
+
+def _load_full_images(dataset, indices):
+    """(B, H, W, 3) uint8 original-resolution images (the overlaps mode
+    computes its superpixels at full resolution —
+    superpixel_overlaps.py:322-323)."""
+    if hasattr(dataset, "full_images"):
+        return np.stack(dataset.full_images(list(indices)))
+    return np.stack([np.asarray(dataset[i][0], np.uint8)
+                     for i in indices])
 
 
 def _load_batch(dataset, indices, resize_hw):

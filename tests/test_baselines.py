@@ -1,0 +1,127 @@
+"""Baseline-mode tests: direct pixel clustering + superpixel overlaps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spalign_tpu.config import (KMeansConfig, LabelGenConfig,
+                                SuperpixelConfig)
+from spalign_tpu.data.synthetic import SyntheticRoadScenes
+from spalign_tpu.pipeline.direct import (DirectLabelGenerator,
+                                         OverlapsLabelGenerator,
+                                         direct_cluster, overlaps_refine,
+                                         make_label_generator)
+
+
+class TestDirectCluster:
+    def test_feature_rows_include_xy(self, rng):
+        """Clustering must be sensitive to the appended (x, y) ints:
+        constant features still separate spatially."""
+        fmaps = jnp.zeros((2, 8, 8, 4))
+        road, cluster, res = direct_cluster(
+            fmaps, jax.random.key(0), k=2, n_iter=100,
+            prior_params=(0.75, 0.5, 0.1, 0.1))
+        assert road.shape == (2, 8, 8)
+        # identical images -> identical maps
+        np.testing.assert_array_equal(np.asarray(road[0]),
+                                      np.asarray(road[1]))
+        # cluster 0 concentrated at bottom-center (prior-seeded)
+        r = np.asarray(road[0])
+        assert r[6:, 3:5].mean() >= r[:2].mean()
+
+    def test_separates_feature_blobs(self, rng):
+        """Pixels with distinct feature signatures cluster apart."""
+        fm = np.zeros((1, 8, 8, 4), np.float32)
+        fm[0, 4:, :, 0] = 50.0  # bottom half distinct
+        fm[0, :4, :, 1] = 50.0
+        road, cluster, res = direct_cluster(
+            jnp.asarray(fm), jax.random.key(1), k=2, n_iter=100,
+            prior_params=(0.75, 0.5, 0.3, 0.5))
+        c = np.asarray(cluster[0])
+        assert (c[4:] == 0).all()
+        assert (c[:4] != 0).all()
+
+
+class TestOverlapsRefine:
+    def test_snapping(self):
+        # coarse road: bottom-left quadrant of a 4x4 map
+        road_small = np.zeros((1, 4, 4), bool)
+        road_small[0, 2:, :2] = True
+        # full-res superpixels: 4 vertical strips of 8x16
+        sp = np.zeros((1, 16, 16), np.int32)
+        for s in range(4):
+            sp[0, :, s * 4:(s + 1) * 4] = s
+        refined = np.asarray(overlaps_refine(
+            jnp.asarray(road_small), jnp.asarray(sp), 0.05,
+            num_segments=8))
+        # strips 0-1 overlap the road quadrant; 2-3 don't
+        assert refined[0][:, :8].any()
+        assert not refined[0][:, 8:].any()
+        # snapped regions are full superpixels
+        for s in range(2):
+            strip = refined[0][:, s * 4:(s + 1) * 4]
+            assert strip.all() or not strip.any()
+
+    def test_empty_prediction_stays_empty(self):
+        road_small = np.zeros((1, 4, 4), bool)
+        sp = np.zeros((1, 8, 8), np.int32)
+        refined = np.asarray(overlaps_refine(
+            jnp.asarray(road_small), jnp.asarray(sp), 0.01,
+            num_segments=4))
+        assert not refined.any()
+
+
+class TestBaselineGenerators:
+    def _ds(self):
+        return SyntheticRoadScenes(n=4, full_shape=(128, 256), seed=31)
+
+    def test_direct_e2e(self, tmp_path):
+        cfg = LabelGenConfig(mode="direct", batchsize=4,
+                             resize_shape=(112, 112),
+                             out_dir=str(tmp_path), save_masks=True)
+        gen = make_label_generator(cfg)
+        assert isinstance(gen, DirectLabelGenerator)
+        records = gen.process_dataset(self._ds())
+        assert len(records) == 4
+        assert all("road_iou" in r for r in records)
+        assert all(r["mode"] == "direct" for r in records)
+
+    def test_overlaps_e2e(self, tmp_path):
+        cfg = LabelGenConfig(
+            mode="overlaps", batchsize=4, resize_shape=(112, 112),
+            superpixel=SuperpixelConfig(
+                method="slic", n_slic_segments=60, slic_iters=3,
+                max_superpixels=256),
+            out_dir=str(tmp_path), save_masks=False)
+        gen = make_label_generator(cfg)
+        assert isinstance(gen, OverlapsLabelGenerator)
+        records = gen.process_dataset(self._ds(), save=False)
+        assert len(records) == 4
+        for r in records:
+            assert "road_iou" in r
+            assert "time_refine" in r and "time_superpixel" in r
+
+    def test_overlaps_masks_respect_superpixels(self, tmp_path):
+        """Refined masks must be unions of full-res superpixels."""
+        from spalign_tpu.pipeline.superpixels import compute_superpixels
+
+        cfg = LabelGenConfig(
+            mode="overlaps", batchsize=2, resize_shape=(112, 112),
+            superpixel=SuperpixelConfig(method="slic", n_slic_segments=40,
+                                        slic_iters=3, max_superpixels=256),
+            out_dir=str(tmp_path))
+        ds = SyntheticRoadScenes(n=2, full_shape=(128, 256), seed=31)
+        gen = make_label_generator(cfg)
+        imgs, _ = ds.resized_batch(range(2), (112, 112))
+        full = np.stack([ds[i][0] for i in range(2)])
+        road, cluster, diag, _ = gen.run_batch(imgs, full_images=full)
+        road = np.asarray(road)
+        assert road.shape == (2, 128, 256)
+        sps, _ = compute_superpixels(full, cfg.superpixel)
+        # refinement is deterministic given sp maps: every superpixel is
+        # uniformly road or non-road
+        for b in range(2):
+            for s in np.unique(sps[b]):
+                vals = road[b][sps[b] == s]
+                assert vals.all() or not vals.any()
