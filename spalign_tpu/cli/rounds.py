@@ -1,0 +1,95 @@
+"""Self-training rounds CLI (replaces utils/run_train_rounds.py).
+
+Example (test mode, like the reference's utils/test.sh smokes):
+  python -m spalign_tpu.cli.rounds --test_mode \
+      --img_zip data/cityscapes_train_imgs.0.zip \
+      --label_zip data/cityscapes_train_labels.0.zip \
+      --estimated_label_zip results/estimated_train_labels.0.zip
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n_round", type=int, default=1)
+    p.add_argument("--iteration", type=int, default=2000)
+    p.add_argument("--val_iteration", type=int, default=100)
+    p.add_argument("--n_use_data", type=int, default=None)
+    p.add_argument("--use_soft_label", action="store_true", default=False)
+    p.add_argument("--use_mse", action="store_true", default=False)
+    p.add_argument("--random", action="store_true", default=False)
+    p.add_argument("--test_mode", action="store_true", default=False)
+    p.add_argument("--batchsize", type=int, default=8)
+    p.add_argument("--result_base_dir", type=str, default="results")
+    p.add_argument("--eval_shape", type=int, nargs=2, default=[1024, 2048])
+    p.add_argument("--input_shape", type=int, nargs=2, default=[512, 1024])
+    p.add_argument("--img_zip", type=str,
+                   default="data/cityscapes_train_imgs.0.zip")
+    p.add_argument("--label_zip", type=str,
+                   default="data/cityscapes_train_labels.0.zip")
+    p.add_argument("--estimated_label_zip", type=str,
+                   default="results/estimated_train_labels.0.zip")
+    p.add_argument("--num_devices", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+
+    from spalign_tpu.config import RoundsConfig, TrainConfig
+    from spalign_tpu.data.cityscapes import (CITYSCAPES_MEAN,
+                                             CITYSCAPES_STD,
+                                             ZippedCityscapesRoadDataset)
+    from spalign_tpu.data.estimated import EstimatedCityscapesDataset
+    from spalign_tpu.selftrain import RoundsDriver
+
+    loss = "soft" if args.use_soft_label else (
+        "mse" if args.use_mse else "ce")
+    cfg = RoundsConfig(
+        n_round=args.n_round, iteration=args.iteration,
+        val_iteration=args.val_iteration, loss=loss, augment=args.random,
+        test_mode=args.test_mode, batchsize=args.batchsize,
+        result_base_dir=args.result_base_dir,
+        eval_shape=tuple(args.eval_shape))
+    tcfg = TrainConfig(model="basic", optimizer="Adam",
+                       input_shape=tuple(args.input_shape),
+                       eval_shape=tuple(args.eval_shape),
+                       n_use_data=args.n_use_data,
+                       num_devices=args.num_devices)
+    input_shape = tuple(args.input_shape)
+    soft = loss in ("soft", "mse")
+
+    def make_train_dataset(label_source):
+        return EstimatedCityscapesDataset(
+            args.img_zip, label_source or args.estimated_label_zip,
+            input_shape, augment=args.random, use_soft_label=soft)
+
+    class RelabelView:
+        """Standardized images at input res + full-res gt labels."""
+
+        def __init__(self):
+            self.d = ZippedCityscapesRoadDataset(
+                args.img_zip, args.label_zip, input_shape,
+                standardize=True)
+
+        def __len__(self):
+            n = len(self.d)
+            return min(n, args.n_use_data) if args.n_use_data else n
+
+        def image_name(self, i):
+            return self.d.image_name(i)
+
+        def __getitem__(self, i):
+            return self.d[i]
+
+    driver = RoundsDriver(cfg, tcfg, make_train_dataset,
+                          lambda: RelabelView())
+    final_dir, final_zip = driver.run(initial_label_source=None)
+    print(f"rounds complete: result_dir={final_dir} labels={final_zip}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Ablation sweep CLI (replaces the utils/dmux/* cluster scripts).
+
+Reproduces the paper's ablation grids in one process, one config after
+another on the local mesh (the reference sharded these over 25 cluster
+jobs):
+  fig7: k in {2..8}            (utils/dmux/run_exp_fig-7.sh)
+  fig8: clustering batch 1..50 (run_exp_fig-8.sh)
+  fig9: felzenszwalb scale 100..800 (run_exp_fig-9.sh)
+Custom single-axis sweeps: --param kmeans.n_clusters --values 2 3 4.
+
+Writes one CSV row per configuration with the aggregate metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+from spalign_tpu.cli.common import (add_dataset_args, build_label_dataset,
+                                    load_drn_weights)
+from spalign_tpu.cli.label_gen import config_from_args, get_args as \
+    label_gen_args
+from spalign_tpu.eval.results import aggregate_results
+
+FIG_GRIDS = {
+    "fig7": ("kmeans.n_clusters", [2, 3, 4, 5, 6, 7, 8]),
+    "fig8": ("batchsize", [1, 5, 10, 20, 30, 40, 50]),
+    "fig9": ("superpixel.felzenszwalb_scale",
+             [100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0]),
+}
+
+
+def set_nested(cfg, dotted: str, value):
+    parts = dotted.split(".")
+    if len(parts) == 1:
+        return dataclasses.replace(cfg, **{parts[0]: value})
+    sub = getattr(cfg, parts[0])
+    return dataclasses.replace(
+        cfg, **{parts[0]: set_nested(sub, ".".join(parts[1:]), value)})
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, add_help=False)
+    p.add_argument("--grid", choices=list(FIG_GRIDS) + ["custom"],
+                   default="fig7")
+    p.add_argument("--param", type=str, default=None,
+                   help="dotted config path for --grid custom")
+    p.add_argument("--values", type=float, nargs="*", default=None)
+    p.add_argument("--sweep_out", type=str, default="results/sweep.csv")
+    sweep_args, rest = p.parse_known_args(argv)
+
+    base_args = label_gen_args(rest)
+    base_cfg = config_from_args(base_args)
+    dataset = build_label_dataset(base_args, base_cfg.resize_shape)
+    variables = load_drn_weights(base_args)
+
+    if sweep_args.grid == "custom":
+        if not sweep_args.param or sweep_args.values is None:
+            raise SystemExit("--grid custom needs --param and --values")
+        param, values = sweep_args.param, sweep_args.values
+    else:
+        param, values = FIG_GRIDS[sweep_args.grid]
+
+    from spalign_tpu.pipeline.direct import make_label_generator
+
+    os.makedirs(os.path.dirname(sweep_args.sweep_out) or ".",
+                exist_ok=True)
+    rows = []
+    for v in values:
+        if param in ("kmeans.n_clusters", "batchsize"):
+            v = int(v)
+        cfg = set_nested(base_cfg, param, v)
+        cfg = dataclasses.replace(
+            cfg, out_dir=os.path.join(cfg.out_dir, f"{param}={v}"))
+        gen = make_label_generator(cfg, variables=variables,
+                                   model_name=base_args.model,
+                                   seed=base_args.seed)
+        records = gen.process_dataset(dataset, save=False)
+        agg = aggregate_results([r for r in records if "road_iou" in r])
+        rows.append((v, agg))
+        print(f"{param}={v}: road IoU={agg['road_mean_iou']:.4f} "
+              f"P={agg['precision']:.4f} R={agg['recall']:.4f}")
+
+    with open(sweep_args.sweep_out, "w") as f:
+        f.write(f"{param},road_mean_iou,precision,recall,n\n")
+        for v, agg in rows:
+            f.write(f"{v},{agg['road_mean_iou']},{agg['precision']},"
+                    f"{agg['recall']},{agg['n']}\n")
+    print(f"wrote {sweep_args.sweep_out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,22 @@ class CityscapesRoadDataset:
                                   color=False)
         return _finish(img, label_ids, self.resize_shape, self.standardize)
 
+    def resized_batch(self, indices, resize_hw):
+        """Label-generation entry: (B,h,w,3) uint8 + RAW full-res
+        labelIds (remapping happens downstream)."""
+        imgs, labels = [], []
+        for i in indices:
+            img = _decode_image(open(self.img_fns[i], "rb").read())
+            lab = _decode_image(open(self.label_fns[i], "rb").read(),
+                                color=False)
+            imgs.append(_resize_cubic(img, resize_hw))
+            labels.append(lab)
+        return np.stack(imgs).astype(np.uint8), np.stack(labels)
+
+    def full_images(self, indices):
+        return [_decode_image(open(self.img_fns[i], "rb").read())
+                for i in indices]
+
 
 class ZippedCityscapesRoadDataset:
     """Zip-backed images + gtFine labels
@@ -157,6 +173,10 @@ class ZippedCityscapesRoadDataset:
             labels.append(lab)
         return np.stack(imgs).astype(np.uint8), np.stack(labels)
 
+    def full_images(self, indices):
+        return [_decode_image(self.img_zip.read(self.img_fns[i]))
+                for i in indices]
+
 
 class FileListDataset:
     """Paths from .txt file lists (data/random300_images.txt style,
@@ -189,6 +209,21 @@ class FileListDataset:
             img = _resize_cubic(img, self.resize_shape)
             return img.astype(np.float32), None
         return _finish(img, label_ids, self.resize_shape, self.standardize)
+
+    def resized_batch(self, indices, resize_hw):
+        imgs, labels = [], []
+        for i in indices:
+            img = _decode_image(open(self.img_fns[i], "rb").read())
+            imgs.append(_resize_cubic(img, resize_hw))
+            if self.label_fns:
+                labels.append(_decode_image(
+                    open(self.label_fns[i], "rb").read(), color=False))
+        return (np.stack(imgs).astype(np.uint8),
+                np.stack(labels) if labels else None)
+
+    def full_images(self, indices):
+        return [_decode_image(open(self.img_fns[i], "rb").read())
+                for i in indices]
 
 
 def _finish(img, label_ids, resize_hw, standardize):
