@@ -44,22 +44,35 @@ def main():
     ds = SyntheticRoadScenes(n=batch * 2, full_shape=(1024, 2048), seed=7)
     gen = SpalignLabelGenerator(cfg)
 
-    # Host-side image prep (decode/resize) is pipelined off the clock in
-    # production; prepare batches up front so we measure the pipeline.
+    # Pre-render scenes into memory (image DECODE cost is a property of
+    # the storage format, not the pipeline; the real loader prefetches
+    # it behind device compute anyway).
     imgs_a, _ = ds.resized_batch(range(batch), cfg.resize_shape)
     imgs_b, _ = ds.resized_batch(range(batch, 2 * batch), cfg.resize_shape)
-    batches = [imgs_a, imgs_b]
+
+    class InMemory:
+        """Unlabeled dataset of pre-rendered frames."""
+
+        frames = np.concatenate([imgs_a, imgs_b])
+
+        def __len__(self):
+            return n_batches_timed * batch
+
+        def image_name(self, i):
+            return f"bench_{i:06d}.png"
+
+        def resized_batch(self, indices, hw):
+            return self.frames[[i % (2 * batch) for i in indices]], None
 
     # Warmup: compile every program involved.
-    for b in batches:
+    for b in (imgs_a, imgs_b):
         road, _, _, _ = gen.run_batch(b)
     jax.block_until_ready(road)
 
     t0 = time.time()
-    for i in range(n_batches_timed):
-        road, _, diag, _ = gen.run_batch(batches[i % 2])
-    jax.block_until_ready(road)
+    records = gen.process_dataset(InMemory(), save=False)
     dt = time.time() - t0
+    assert len(records) == n_batches_timed * batch
 
     imgs_per_sec = batch * n_batches_timed / dt
     print(json.dumps({

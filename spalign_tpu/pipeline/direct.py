@@ -82,11 +82,14 @@ class DirectLabelGenerator(LabelGeneratorBase):
     """direct_clustering.py equivalent."""
 
     def run_batch(self, images_uint8, timers: Optional[StageTimer] = None,
-                  full_images=None):
+                  full_images=None, prepared=None):
         cfg = self.cfg
         timers = timers or StageTimer()
+        if prepared is None:
+            prepared = self._host_prepare(images_uint8, full_images,
+                                          timers)
         with timers.stage("feature_maps"):
-            fmaps = self.features(jnp.asarray(images_uint8, jnp.float32))
+            fmaps = self.features(prepared["imgs_dev"])
         with timers.stage("kmeans"):
             road, cluster, res = direct_cluster(
                 fmaps, self._next_key(), k=cfg.kmeans.n_clusters,
@@ -94,6 +97,14 @@ class DirectLabelGenerator(LabelGeneratorBase):
         diag = {"kmeans_iters": int(res.n_iter),
                 "kmeans_converged": bool(res.converged),
                 "kmeans_empty_stop": bool(res.empty_stop)}
+        if "full_sps" in prepared:
+            with timers.stage("refine"):
+                refined = overlaps_refine(
+                    road, prepared["full_sps"], cfg.overlap_threshold,
+                    num_segments=cfg.superpixel.max_superpixels)
+            diag = dict(diag,
+                        n_superpixels=prepared["counts"].tolist())
+            return refined, cluster, diag, timers
         return road, cluster, diag, timers
 
 
@@ -105,22 +116,15 @@ class OverlapsLabelGenerator(DirectLabelGenerator):
 
     needs_full_images = True
 
-    def run_batch(self, images_uint8, timers: Optional[StageTimer] = None,
-                  full_images=None):
-        cfg = self.cfg
-        timers = timers or StageTimer()
-        road, cluster, diag, timers = super().run_batch(images_uint8,
-                                                        timers)
+    def _host_prepare(self, images_uint8, full_images, timers) -> dict:
         if full_images is None:
             raise ValueError("overlaps mode needs full-resolution images")
+        prepared = super()._host_prepare(images_uint8, full_images, timers)
         with timers.stage("superpixel"):
-            sps, counts = compute_superpixels(full_images, cfg.superpixel)
-        with timers.stage("refine"):
-            refined = overlaps_refine(
-                road, jnp.asarray(sps), cfg.overlap_threshold,
-                num_segments=cfg.superpixel.max_superpixels)
-        diag = dict(diag, n_superpixels=counts.tolist())
-        return refined, cluster, diag, timers
+            sps, counts = compute_superpixels(full_images,
+                                              self.cfg.superpixel)
+        prepared.update(full_sps=jnp.asarray(sps), counts=counts)
+        return prepared
 
 
 def make_label_generator(cfg, variables=None, model_name="drn_c_26",

@@ -96,12 +96,18 @@ def spalign_cluster(feature_maps, superpixels, key, *, n_anchors: int,
 
 
 @partial(jax.jit, static_argnames=("full_hw",))
-def score_full_res(road_masks, labels_full, full_hw):
+def score_full_res(road_masks, label_ids_full, full_hw):
     """Upsample masks NN (cv2 convention) to full resolution and compute
-    per-image 2x2 confusion matrices on device.  Only (B,2,2) ints leave
-    the chip."""
+    per-image 2x2 confusion matrices on device.
+
+    label_ids_full: RAW Cityscapes labelIds (uint8) — remapped to
+    {-1, 0, 1} on device, so only compact uint8 labels go up and (B,2,2)
+    ints come down."""
+    from spalign_tpu.data.labels import remap_label_ids
+
     up = nn_resize_cv2(road_masks.astype(jnp.int32), full_hw)  # (B,H,W)
-    return jax.vmap(lambda p, g: confusion_matrix(p, g, 2))(up, labels_full)
+    gt = remap_label_ids(label_ids_full)
+    return jax.vmap(lambda p, g: confusion_matrix(p, g, 2))(up, gt)
 
 
 @partial(jax.jit, static_argnames=("full_hw",))
@@ -119,8 +125,11 @@ class LabelGeneratorBase:
     def __init__(self, cfg: LabelGenConfig, variables=None,
                  model_name: str = "drn_c_26", seed: Optional[int] = None):
         self.cfg = cfg
+        # model_dtype='bfloat16' runs the conv stack on the MXU in bf16
+        # (params stay f32; k-means always accumulates in f32)
+        dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model_dtype]
         self.model = DRN_FACTORIES[model_name](out_map=True,
-                                               out_middle=True)
+                                               out_middle=True, dtype=dtype)
         if variables is None:
             variables = self.model.init(
                 jax.random.key(0),
@@ -138,24 +147,40 @@ class LabelGeneratorBase:
         self.key, k = jax.random.split(self.key)
         return k
 
-    def run_batch(self, images_uint8, timers=None, full_images=None):
+    def _host_prepare(self, images_uint8, full_images, timers) -> dict:
+        """Host+transfer work for one batch (image upload, superpixels,
+        ...).  Runs on the PREFETCH thread in process_dataset, so it
+        overlaps the device programs of the previous batch."""
+        return {"imgs_dev": jnp.asarray(np.ascontiguousarray(
+            images_uint8))}
+
+    def run_batch(self, images_uint8, timers=None, full_images=None,
+                  prepared=None):
         raise NotImplementedError
 
     def process_dataset(self, dataset, start_index: int = 0,
                         end_index: Optional[int] = None,
                         save: Optional[bool] = None,
-                        writer: Optional[ResultWriter] = None):
+                        writer: Optional[ResultWriter] = None,
+                        prefetch: int = 2):
         """Iterate a dataset of (img_uint8_full, label_ids) pairs in
         clustering batches, mirroring the reference main loop (including
-        its keep-the-batchsize tail overlap, :538-544).  Returns the list
-        of per-image records."""
+        its keep-the-batchsize tail overlap, :538-544).
+
+        Batches are host-prepared (decode, superpixels, uploads) on a
+        background thread `prefetch` batches ahead, so host stages of
+        batch N+1 hide behind device programs of batch N — the software
+        pipeline replacing the reference's process-per-GPU fan-out.
+
+        Returns the list of per-image records."""
         cfg = self.cfg
         n = len(dataset)
         end_index = n if end_index is None else min(end_index, n)
         save = cfg.save_masks if save is None else save
         if writer is None and (save or cfg.save_images):
             writer = ResultWriter(cfg.out_dir)
-        records = []
+
+        slices = []
         bs = cfg.batchsize
         i = start_index
         while i < end_index:
@@ -164,27 +189,73 @@ class LabelGeneratorBase:
                 j = end_index
             else:
                 j = min(i + bs, end_index)
-            records.extend(self._process_slice(dataset, i, j, save, writer))
+            slices.append((i, j))
             i = j
+
+        records = []
+        for item in self._prefetched(dataset, slices, prefetch):
+            records.extend(self._process_loaded(dataset, item, save,
+                                                writer))
         return records
 
-    def _process_slice(self, dataset, i, j, save, writer):
-        cfg = self.cfg
+    def _load_slice(self, dataset, i, j):
         timers = StageTimer()
         with timers.stage("load"):
             imgs, labels = _load_batch(dataset, range(i, j),
-                                       cfg.resize_shape)
+                                       self.cfg.resize_shape)
             full_images = (_load_full_images(dataset, range(i, j))
                            if self.needs_full_images else None)
+        prepared = self._host_prepare(imgs, full_images, timers)
+        return (i, j, imgs, labels, full_images, prepared, timers)
+
+    def _prefetched(self, dataset, slices, depth):
+        if depth <= 0 or len(slices) <= 1:
+            for i, j in slices:
+                yield self._load_slice(dataset, i, j)
+            return
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for i, j in slices:
+                    if stop.is_set():
+                        return
+                    q.put(self._load_slice(dataset, i, j))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():
+                q.get_nowait()
+
+    def _process_loaded(self, dataset, item, save, writer):
+        cfg = self.cfg
+        i, j, imgs, labels, full_images, prepared, timers = item
         road, cluster, diag, timers = self.run_batch(
-            imgs, timers=timers, full_images=full_images)
+            imgs, timers=timers, full_images=full_images,
+            prepared=prepared)
 
         records = []
         if labels is not None:
-            gt = np.stack([create_label_mask(l) for l in labels])
+            # labels are RAW labelIds (dataset convention); they ship to
+            # the device as uint8 and remap there
             with timers.stage("score"):
                 confs = np.asarray(score_full_res(
-                    road, jnp.asarray(gt), tuple(gt.shape[1:])))
+                    road, jnp.asarray(np.ascontiguousarray(labels)),
+                    tuple(labels.shape[1:])))
         else:
             confs = [None] * (j - i)
 
@@ -236,20 +307,34 @@ class SpalignLabelGenerator(LabelGeneratorBase):
     key, up to cfg.kmeans.max_retries times.
     """
 
+    def _host_prepare(self, images_uint8, full_images, timers) -> dict:
+        """Upload the batch once (uint8; the feature extractor and the
+        device SLIC engine share it), compute superpixels, and upload
+        the maps — all off the critical path when prefetched."""
+        cfg = self.cfg
+        imgs_dev = jnp.asarray(np.ascontiguousarray(images_uint8))
+        with timers.stage("superpixel"):
+            sps, counts = compute_superpixels(images_uint8, cfg.superpixel,
+                                              device_images=imgs_dev)
+        return {"imgs_dev": imgs_dev, "sps_dev": jnp.asarray(sps),
+                "counts": counts}
+
     def run_batch(self, images_uint8, timers: Optional[StageTimer] = None,
-                  full_images=None):
+                  full_images=None, prepared=None):
         """images_uint8: (B,h,w,3) RGB at cfg.resize_shape.
 
         Returns (road_masks (B,h,w) bool np, cluster_maps int32 np,
         diagnostics dict)."""
         cfg = self.cfg
         timers = timers or StageTimer()
-        with timers.stage("superpixel"):
-            sps, counts = compute_superpixels(images_uint8, cfg.superpixel)
+        if prepared is None:
+            prepared = self._host_prepare(images_uint8, full_images,
+                                          timers)
+        imgs_dev = prepared["imgs_dev"]
+        sps_dev = prepared["sps_dev"]
+        counts = prepared["counts"]
         with timers.stage("feature_maps"):
-            fmaps = self.features(
-                jnp.asarray(images_uint8, jnp.float32))
-        sps_dev = jnp.asarray(sps)
+            fmaps = self.features(imgs_dev)
 
         s = cfg.superpixel.max_superpixels
         road = cluster = assign = None

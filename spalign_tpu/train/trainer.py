@@ -164,9 +164,47 @@ class Trainer:
                     ev = evaluator(self.variables())
                     self._report({"iteration": step,
                                   **{f"val/{k}": v for k, v in ev.items()}})
+                    self._plots()
                 if checkpointer is not None:
                     checkpointer(step, self.state)
         return self.state
+
+    def _plots(self):
+        """PNG training curves, mirroring the reference's PlotReport set
+        (train_segnet.py:291-303: loss / accuracy / ious / prerec)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+
+        def series(key):
+            pts = [(e["iteration"], e[key]) for e in self._log if key in e]
+            return ([p[0] for p in pts], [p[1] for p in pts])
+
+        panels = {
+            "loss.png": ["main/loss"],
+            "ious.png": ["val/main/iou/road", "val/main/iou/non_road"],
+            "prerec.png": ["val/main/precision", "val/main/recall"],
+            "accuracy.png": ["val/main/class_accuracy/road",
+                             "val/main/class_accuracy/non_road"],
+        }
+        for fn, keys in panels.items():
+            data = [(k, *series(k)) for k in keys]
+            if not any(xs for _, xs, _ in data):
+                continue
+            fig, ax = plt.subplots()
+            for k, xs, ys in data:
+                if xs:
+                    ax.plot(xs, ys, marker=".", label=k)
+            ax.set_xlabel("iteration")
+            ax.legend(fontsize=7)
+            ax.grid(True, alpha=0.3)
+            fig.savefig(os.path.join(self.cfg.result_dir, fn),
+                        bbox_inches="tight")
+            plt.close(fig)
 
     def _report(self, rec):
         self._log.append(rec)
