@@ -123,7 +123,7 @@ class OverlapsLabelGenerator(DirectLabelGenerator):
         with timers.stage("superpixel"):
             sps, counts = compute_superpixels(full_images,
                                               self.cfg.superpixel)
-        prepared.update(full_sps=jnp.asarray(sps), counts=counts)
+        prepared.update(full_sps=self._put(sps), counts=counts)
         return prepared
 
 

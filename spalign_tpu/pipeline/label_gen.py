@@ -123,8 +123,16 @@ class LabelGeneratorBase:
     needs_full_images = False
 
     def __init__(self, cfg: LabelGenConfig, variables=None,
-                 model_name: str = "drn_c_26", seed: Optional[int] = None):
+                 model_name: str = "drn_c_26", seed: Optional[int] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — the
+        clustering batch shards over it (images, superpixels, aligned
+        features); the joint k-means' reductions become cross-chip
+        collectives under jit.  Replaces the reference's index-range GPU
+        fan-out scripts (utils/create_val_labels.sh) with one sharded
+        program."""
         self.cfg = cfg
+        self.mesh = mesh
         # model_dtype='bfloat16' runs the conv stack on the MXU in bf16
         # (params stay f32; k-means always accumulates in f32)
         dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model_dtype]
@@ -143,6 +151,16 @@ class LabelGeneratorBase:
         self._prior_params = (p.y_rel_pos, p.x_rel_pos, p.y_rel_sigma,
                               p.x_rel_sigma)
 
+    def _put(self, host_array):
+        """Upload a batch-leading array, sharded over the mesh when one
+        is configured."""
+        arr = np.ascontiguousarray(host_array)
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from spalign_tpu.parallel import data_sharding
+
+        return jax.device_put(arr, data_sharding(self.mesh))
+
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
@@ -151,8 +169,7 @@ class LabelGeneratorBase:
         """Host+transfer work for one batch (image upload, superpixels,
         ...).  Runs on the PREFETCH thread in process_dataset, so it
         overlaps the device programs of the previous batch."""
-        return {"imgs_dev": jnp.asarray(np.ascontiguousarray(
-            images_uint8))}
+        return {"imgs_dev": self._put(images_uint8)}
 
     def run_batch(self, images_uint8, timers=None, full_images=None,
                   prepared=None):
@@ -254,8 +271,7 @@ class LabelGeneratorBase:
             # the device as uint8 and remap there
             with timers.stage("score"):
                 confs = np.asarray(score_full_res(
-                    road, jnp.asarray(np.ascontiguousarray(labels)),
-                    tuple(labels.shape[1:])))
+                    road, self._put(labels), tuple(labels.shape[1:])))
         else:
             confs = [None] * (j - i)
 
@@ -312,11 +328,11 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         device SLIC engine share it), compute superpixels, and upload
         the maps — all off the critical path when prefetched."""
         cfg = self.cfg
-        imgs_dev = jnp.asarray(np.ascontiguousarray(images_uint8))
+        imgs_dev = self._put(images_uint8)
         with timers.stage("superpixel"):
             sps, counts = compute_superpixels(images_uint8, cfg.superpixel,
                                               device_images=imgs_dev)
-        return {"imgs_dev": imgs_dev, "sps_dev": jnp.asarray(sps),
+        return {"imgs_dev": imgs_dev, "sps_dev": self._put(sps),
                 "counts": counts}
 
     def run_batch(self, images_uint8, timers: Optional[StageTimer] = None,

@@ -84,6 +84,43 @@ class TestTorchParity:
                 rtol=1e-3, atol=1e-4)
 
 
+class TestBottleneckParity:
+    def test_small_bottleneck_drn(self):
+        """Bottleneck blocks (expansion 4, downsample 1x1s) vs torch —
+        a small custom config so the test stays fast (drn_d_105's real
+        depth shares exactly these block types)."""
+        import torch
+
+        from spalign_tpu.convert.torch_drn import (TorchBottleneck,
+                                                   TorchDRN)
+        from spalign_tpu.models.drn import DRN, Bottleneck
+
+        layers = [1, 1, 2, 2, 2, 2, 1, 1]
+        tmodel = TorchDRN(TorchBottleneck, layers, arch="D",
+                          num_classes=5)
+        tmodel.eval()
+        with torch.no_grad():
+            for m in tmodel.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.uniform_(-0.5, 0.5)
+                    m.running_var.uniform_(0.5, 2.0)
+        variables = convert_drn_state_dict(tmodel.state_dict(), arch="D")
+        jmodel = DRN(Bottleneck, tuple(layers), arch="D", num_classes=5,
+                     out_map=True, out_middle=True)
+        verify_against_init(variables, jmodel, input_hw=(64, 64))
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(1, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            tout, _ = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        variables = jax.tree.map(lambda a: np.asarray(a, np.float32),
+                                 variables)
+        jout, _ = jmodel.apply(variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(
+            np.asarray(jout), tout.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3, atol=1e-4)
+
+
 class TestPreprocess:
     def test_imagenet_normalization(self):
         x = np.full((1, 4, 4, 3), 128.0, np.float32)
