@@ -145,6 +145,7 @@ class LabelGeneratorBase:
         self.variables = variables
         self.features = jax.jit(build_feature_fn(
             self.model, self.variables, cfg.use_feature_maps))
+        self._fused = None  # built lazily by subclasses
         self.key = jax.random.key(cfg.kmeans.seed
                                   if seed is None else seed)
         p = cfg.prior
@@ -335,6 +336,32 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         return {"imgs_dev": imgs_dev, "sps_dev": self._put(sps),
                 "counts": counts}
 
+    def _fused_program(self):
+        """One jit program: DRN features + align + prior + k-means +
+        painting + the retry predicate — a single dispatch per batch
+        (dispatch round-trips are expensive on remote-attached TPUs)."""
+        if self._fused is not None:
+            return self._fused
+        cfg = self.cfg
+        feature_fn = build_feature_fn(self.model, self.variables,
+                                      cfg.use_feature_maps)
+        s = cfg.superpixel.max_superpixels
+
+        @jax.jit
+        def program(imgs, sps, key):
+            fmaps = feature_fn(imgs)
+            road, cluster, assign, res = spalign_cluster(
+                fmaps, sps, key,
+                n_anchors=cfg.align.n_anchors, num_segments=s,
+                append_pos=cfg.align.append_pos,
+                k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
+                prior_params=self._prior_params)
+            all_have_road = jnp.all(jnp.any(road, axis=(1, 2)))
+            return road, cluster, assign, res, all_have_road
+
+        self._fused = program
+        return program
+
     def run_batch(self, images_uint8, timers: Optional[StageTimer] = None,
                   full_images=None, prepared=None):
         """images_uint8: (B,h,w,3) RGB at cfg.resize_shape.
@@ -349,21 +376,14 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         imgs_dev = prepared["imgs_dev"]
         sps_dev = prepared["sps_dev"]
         counts = prepared["counts"]
-        with timers.stage("feature_maps"):
-            fmaps = self.features(imgs_dev)
+        program = self._fused_program()
 
-        s = cfg.superpixel.max_superpixels
         road = cluster = assign = None
         with timers.stage("kmeans"):
             for attempt in range(max(1, cfg.kmeans.max_retries)):
-                road, cluster, assign, res = spalign_cluster(
-                    fmaps, sps_dev, self._next_key(),
-                    n_anchors=cfg.align.n_anchors, num_segments=s,
-                    append_pos=cfg.align.append_pos,
-                    k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
-                    prior_params=self._prior_params)
-                per_img_road = jnp.any(road, axis=(1, 2))
-                if bool(per_img_road.all()):
+                road, cluster, assign, res, ok = program(
+                    imgs_dev, sps_dev, self._next_key())
+                if bool(ok):
                     break
         diag = {
             "kmeans_iters": int(res.n_iter),
