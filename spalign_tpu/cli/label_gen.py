@@ -52,6 +52,12 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=1111)
     p.add_argument("--save_images", action="store_true", default=False)
     p.add_argument("--no_save_masks", action="store_true", default=False)
+    p.add_argument("--model_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 runs the feature extractor on the MXU "
+                        "in half precision")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the run")
     add_dataset_args(p)
     return p.parse_args(argv)
 
@@ -78,7 +84,8 @@ def config_from_args(args) -> LabelGenConfig:
         overlap_threshold=args.overlap_threshold,
         out_dir=args.out_dir,
         save_images=args.save_images,
-        save_masks=not args.no_save_masks)
+        save_masks=not args.no_save_masks,
+        model_dtype=args.model_dtype)
 
 
 def main(argv=None):
@@ -91,8 +98,12 @@ def main(argv=None):
 
     gen = make_label_generator(cfg, variables=variables,
                                model_name=args.model, seed=args.seed)
-    records = gen.process_dataset(dataset, start_index=args.start_index,
-                                  end_index=args.end_index)
+    from spalign_tpu.utils.timers import profiler_trace
+
+    with profiler_trace(args.profile_dir):
+        records = gen.process_dataset(dataset,
+                                      start_index=args.start_index,
+                                      end_index=args.end_index)
     scored = [r for r in records if "road_iou" in r]
     if scored:
         import os

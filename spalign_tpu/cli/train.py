@@ -45,7 +45,10 @@ def get_args(argv=None):
     p.add_argument("--log_interval", type=int, default=50)
     p.add_argument("--val_interval", type=int, default=50)
     p.add_argument("--eval_shape", type=int, nargs=2, default=[1024, 2048])
-    p.add_argument("--result_dir", type=str, default="results/train")
+    p.add_argument("--result_dir", type=str, default=None,
+                   help="explicit result dir; default: timestamped "
+                        "<prefix>_<time>_0 (reference create_result_dir)")
+    p.add_argument("--prefix", type=str, default="results/train")
     p.add_argument("--use_soft_label", action="store_true", default=False)
     p.add_argument("--use_mse", action="store_true", default=False)
     p.add_argument("--n_use_data", type=int, default=None)
@@ -54,9 +57,25 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
+def create_result_dir(prefix: str) -> str:
+    """Timestamped, collision-free result directory (the reference's
+    create_result_dir, train_segnet.py:97-106)."""
+    import os
+    import time as _time
+
+    i = 0
+    while True:
+        d = f"{prefix}_{_time.strftime('%Y-%m-%d_%H-%M-%S')}_{i}"
+        if not os.path.exists(d):
+            os.makedirs(d)
+            return d
+        i += 1
+
+
 def config_from_args(args) -> TrainConfig:
     loss = "soft" if args.use_soft_label else (
         "mse" if args.use_mse else "ce")
+    result_dir = args.result_dir or create_result_dir(args.prefix)
     return TrainConfig(
         model=args.model, batchsize=args.batchsize, lr=args.lr,
         decay_iteration=args.decay_iteration,
@@ -65,7 +84,7 @@ def config_from_args(args) -> TrainConfig:
         eval_shape=tuple(args.eval_shape), augment=args.random,
         log_interval=args.log_interval, val_interval=args.val_interval,
         loss=loss, n_use_data=args.n_use_data, seed=args.seed,
-        result_dir=args.result_dir, resume=args.resume,
+        result_dir=result_dir, resume=args.resume,
         num_devices=args.num_devices)
 
 

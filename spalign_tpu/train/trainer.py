@@ -157,6 +157,7 @@ class Trainer:
             if step % cfg.log_interval == 0 or step == cfg.train_iters:
                 rec = {"iteration": step, "main/loss": last_loss,
                        "grad_norm": float(metrics["grad_norm"]),
+                       "lr": self._current_lr(step),
                        "elapsed_time": time.time() - self._t0}
                 self._report(rec)
             if step % cfg.val_interval == 0 or step == cfg.train_iters:
@@ -168,6 +169,15 @@ class Trainer:
                 if checkpointer is not None:
                     checkpointer(step, self.state)
         return self.state
+
+    def _current_lr(self, step: int) -> float:
+        """Effective learning rate (the reference's observe_lr)."""
+        cfg = self.cfg
+        if cfg.optimizer == "Adam":
+            return 1e-3
+        if cfg.decay_iteration > 0:
+            return cfg.lr * 0.1 ** (step // cfg.decay_iteration)
+        return cfg.lr
 
     def _plots(self):
         """PNG training curves, mirroring the reference's PlotReport set

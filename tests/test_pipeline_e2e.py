@@ -126,3 +126,18 @@ class TestNoLabelMode:
         assert all("road_iou" not in r for r in records)
         assert len(glob.glob(os.path.join(str(tmp_path),
                                           "*leftImg8bit.npy"))) == 3
+
+
+class TestBF16:
+    def test_bfloat16_feature_path(self, tmp_path):
+        cfg = LabelGenConfig(
+            batchsize=2, resize_shape=(112, 112),
+            superpixel=SuperpixelConfig(method="slic", n_slic_segments=40,
+                                        slic_iters=3, max_superpixels=128),
+            out_dir=str(tmp_path), save_masks=False,
+            model_dtype="bfloat16")
+        ds = SyntheticRoadScenes(n=2, full_shape=(128, 256), seed=23)
+        gen = SpalignLabelGenerator(cfg)
+        records = gen.process_dataset(ds, save=False)
+        assert len(records) == 2
+        assert all(np.isfinite(r["road_iou"]) for r in records)
