@@ -76,7 +76,9 @@ class PrefetchLoader:
                         q.put((imgs, labels))
             except RuntimeError:
                 # interpreter/executor shutdown race during teardown
-                if not stop.is_set():
+                import sys
+
+                if not (stop.is_set() or sys.is_finalizing()):
                     raise
             finally:
                 # ensure the consumer always sees the end sentinel, even

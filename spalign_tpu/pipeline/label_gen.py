@@ -383,12 +383,16 @@ class SpalignLabelGenerator(LabelGeneratorBase):
             for attempt in range(max(1, cfg.kmeans.max_retries)):
                 road, cluster, assign, res, ok = program(
                     imgs_dev, sps_dev, self._next_key())
-                if bool(ok):
+                # one transfer for every scalar (each separate int()/
+                # bool() would be its own device round-trip)
+                n_it, conv, empty, ok_np = jax.device_get(
+                    (res.n_iter, res.converged, res.empty_stop, ok))
+                if bool(ok_np):
                     break
         diag = {
-            "kmeans_iters": int(res.n_iter),
-            "kmeans_converged": bool(res.converged),
-            "kmeans_empty_stop": bool(res.empty_stop),
+            "kmeans_iters": int(n_it),
+            "kmeans_converged": bool(conv),
+            "kmeans_empty_stop": bool(empty),
             "n_superpixels": counts.tolist(),
         }
         return road, cluster, diag, timers

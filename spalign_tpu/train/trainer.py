@@ -120,7 +120,16 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, model=None, mesh=None):
         self.cfg = cfg
         self.model = model or build_model(cfg)
-        self.mesh = mesh or make_mesh(cfg.num_devices)
+        if mesh is None:
+            n = cfg.num_devices
+            if n is None:
+                # auto: the most devices that evenly divide the global
+                # batch (the reference requires the same of mpiexec -np)
+                n = len(jax.devices())
+                while cfg.batchsize % n != 0:
+                    n -= 1
+            mesh = make_mesh(n)
+        self.mesh = mesh
         self.step_fn = make_train_step(cfg, self.model)
         self.state = create_train_state(cfg, self.model)
         # replicate state over the mesh
