@@ -32,6 +32,8 @@ def get_args(argv=None):
                    default="data/cityscapes_train_labels.0.zip")
     p.add_argument("--estimated_label_zip", type=str,
                    default="results/estimated_train_labels.0.zip")
+    p.add_argument("--val_img_zip", type=str, default=None)
+    p.add_argument("--val_label_zip", type=str, default=None)
     p.add_argument("--num_devices", type=int, default=None)
     return p.parse_args(argv)
 
@@ -85,8 +87,25 @@ def main(argv=None):
         def __getitem__(self, i):
             return self.d[i]
 
+    evaluator_factory = None
+    if args.val_img_zip and args.val_label_zip:
+        from spalign_tpu.data.loader import PrefetchLoader
+        from spalign_tpu.train.evaluator import Evaluator
+
+        val_ds = ZippedCityscapesRoadDataset(
+            args.val_img_zip, args.val_label_zip, input_shape)
+
+        def evaluator_factory(trainer):
+            def val_batches():
+                return iter(PrefetchLoader(val_ds, cfg.batchsize,
+                                           shuffle=False, epochs=1,
+                                           drop_last=False))
+
+            return Evaluator(trainer.model, val_batches, cfg.eval_shape)
+
     driver = RoundsDriver(cfg, tcfg, make_train_dataset,
-                          lambda: RelabelView())
+                          lambda: RelabelView(),
+                          evaluator_factory=evaluator_factory)
     final_dir, final_zip = driver.run(initial_label_source=None)
     print(f"rounds complete: result_dir={final_dir} labels={final_zip}")
 

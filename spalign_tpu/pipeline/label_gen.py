@@ -72,6 +72,7 @@ def spalign_cluster(feature_maps, superpixels, key, *, n_anchors: int,
     Returns: road_masks (B,h,w) bool, cluster_maps (B,h,w) int32,
       assignment (B,S) int32, kmeans diagnostics.
     """
+    superpixels = superpixels.astype(jnp.int32)  # may arrive narrower
     b, h, w = superpixels.shape
     s = num_segments
 
@@ -333,6 +334,10 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         with timers.stage("superpixel"):
             sps, counts = compute_superpixels(images_uint8, cfg.superpixel,
                                               device_images=imgs_dev)
+        # upload at the narrowest int width (upload bandwidth is the
+        # scarce resource on remote-attached TPUs); widened on device
+        if counts.max() < 2 ** 15:
+            sps = sps.astype(np.int16)
         return {"imgs_dev": imgs_dev, "sps_dev": self._put(sps),
                 "counts": counts}
 
