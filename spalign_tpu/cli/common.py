@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
 
 
 def add_dataset_args(p: argparse.ArgumentParser):

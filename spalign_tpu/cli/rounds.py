@@ -42,9 +42,7 @@ def main(argv=None):
     args = get_args(argv)
 
     from spalign_tpu.config import RoundsConfig, TrainConfig
-    from spalign_tpu.data.cityscapes import (CITYSCAPES_MEAN,
-                                             CITYSCAPES_STD,
-                                             ZippedCityscapesRoadDataset)
+    from spalign_tpu.data.cityscapes import ZippedCityscapesRoadDataset
     from spalign_tpu.data.estimated import EstimatedCityscapesDataset
     from spalign_tpu.selftrain import RoundsDriver
 

@@ -17,8 +17,7 @@ import argparse
 import dataclasses
 import os
 
-from spalign_tpu.cli.common import (add_dataset_args, build_label_dataset,
-                                    load_drn_weights)
+from spalign_tpu.cli.common import build_label_dataset, load_drn_weights
 from spalign_tpu.cli.label_gen import config_from_args, get_args as \
     label_gen_args
 from spalign_tpu.eval.results import aggregate_results

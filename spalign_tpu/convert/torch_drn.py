@@ -16,7 +16,6 @@ torch runs CPU-only here; it is never on the TPU compute path.
 
 from __future__ import annotations
 
-import torch
 import torch.nn as tnn
 
 

@@ -19,8 +19,7 @@ import glob
 import os
 import threading
 import zipfile
-from io import BytesIO
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -19,8 +19,6 @@ import os
 import threading
 import zipfile
 from io import BytesIO
-from typing import Optional
-
 import numpy as np
 
 from spalign_tpu.data.cityscapes import (CITYSCAPES_MEAN, CITYSCAPES_STD,

@@ -21,7 +21,7 @@ does.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from spalign_tpu.ops.kmeans import weighted_kmeans
 from spalign_tpu.ops.prior import pixel_prior

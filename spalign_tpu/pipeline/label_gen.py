@@ -20,7 +20,6 @@ the hot path.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from functools import partial
 from typing import Optional

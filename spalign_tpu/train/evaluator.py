@@ -9,7 +9,7 @@ summed 2x2 confusion leaves the chip.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable, Iterable
 
 import jax

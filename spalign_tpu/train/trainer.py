@@ -18,13 +18,11 @@ import json
 import os
 import time
 from dataclasses import asdict
-from functools import partial
-from typing import Any, Callable, Iterable, Optional
+from typing import Any, Callable, Iterable
 
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from spalign_tpu.config import TrainConfig

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Iterable, Optional, Tuple
 
 import numpy as np
 
