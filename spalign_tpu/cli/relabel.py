@@ -21,6 +21,10 @@ def get_args(argv=None):
     p.add_argument("--eval_shape", type=int, nargs=2,
                    default=[1024, 2048])
     p.add_argument("--batchsize", type=int, default=8)
+    p.add_argument("--score_dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="on-disk dtype for soft-label scores (float16 "
+                        "halves the output zip)")
     return p.parse_args(argv)
 
 
@@ -44,11 +48,14 @@ def main(argv=None):
         args.img_zip_fn, args.label_zip_fn,
         tuple(train_args.get("input_shape", [512, 1024])))
 
+    import numpy as np
+
     out_zip = os.path.join(args.out_dir.rstrip("/") + ".0.zip")
     records = relabel_dataset(
         model, variables, dataset, out_zip,
         eval_shape=tuple(args.eval_shape), batch_size=args.batchsize,
-        soft_label=args.soft_label, out_dir=args.out_dir)
+        soft_label=args.soft_label, out_dir=args.out_dir,
+        score_dtype=getattr(np, args.score_dtype))
     print(f"wrote {len(records)} predictions to {out_zip}")
 
 

@@ -175,3 +175,19 @@ class TestSegNets:
         assert score.shape == (1, 64, 128, 2)
         s = np.asarray(score)
         np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-3)
+
+
+class TestAllFactories:
+    @pytest.mark.parametrize("name", ["drn_c_42", "drn_c_58", "drn_d_38",
+                                      "drn_d_54", "drn_d_105"])
+    def test_factory_builds_and_runs(self, name):
+        from spalign_tpu.models.drn import DRN_FACTORIES
+
+        model = DRN_FACTORIES[name](out_map=True, out_middle=True,
+                                    num_classes=3)
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.key(0), x)
+        out, maps = model.apply(variables, x)
+        assert out.shape == (1, 4, 4, 3)  # stride 8
+        assert len(maps) == 8
+        assert maps[7].shape[1:3] == (4, 4)

@@ -141,3 +141,29 @@ class TestBF16:
         records = gen.process_dataset(ds, save=False)
         assert len(records) == 2
         assert all(np.isfinite(r["road_iou"]) for r in records)
+
+
+class TestConfigVariants:
+    def test_without_pos_and_multimap(self, tmp_path):
+        """--without_pos (no centroid features) and multi-map concat
+        (--use_feature_maps 6 7), the reference's flag surface."""
+        from spalign_tpu.config import AlignConfig
+
+        cfg = LabelGenConfig(
+            batchsize=2, resize_shape=(112, 112),
+            use_feature_maps=(6, 7),
+            align=AlignConfig(n_anchors=5, append_pos=False),
+            superpixel=SuperpixelConfig(method="slic", n_slic_segments=40,
+                                        slic_iters=3, max_superpixels=128),
+            out_dir=str(tmp_path), save_masks=False)
+        ds = SyntheticRoadScenes(n=2, full_shape=(128, 256), seed=29)
+        gen = SpalignLabelGenerator(cfg)
+        records = gen.process_dataset(ds, save=False)
+        assert len(records) == 2
+        assert all(np.isfinite(r["road_iou"]) for r in records)
+        # feature width check: 2 maps x 512 ch, no +2 centroid
+        import jax.numpy as jnp
+
+        imgs, _ = ds.resized_batch(range(2), (112, 112))
+        fmaps = gen.features(jnp.asarray(imgs))
+        assert fmaps.shape[-1] == 1024
