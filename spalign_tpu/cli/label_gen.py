@@ -58,6 +58,9 @@ def get_args(argv=None):
                         "in half precision")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the run")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="skip images already present in out_dir's "
+                        "result.json (crash restart)")
     add_dataset_args(p)
     return p.parse_args(argv)
 
@@ -100,10 +103,20 @@ def main(argv=None):
                                model_name=args.model, seed=args.seed)
     from spalign_tpu.utils.timers import profiler_trace
 
+    skip_done = None
+    if args.resume:
+        import os
+
+        path = os.path.join(cfg.out_dir, "result.json")
+        if os.path.exists(path):
+            skip_done = {r["img_fn"] for r in read_results(path)}
+            print(f"[label_gen] resume: {len(skip_done)} images done")
+
     with profiler_trace(args.profile_dir):
         records = gen.process_dataset(dataset,
                                       start_index=args.start_index,
-                                      end_index=args.end_index)
+                                      end_index=args.end_index,
+                                      skip_done=skip_done)
     scored = [r for r in records if "road_iou" in r]
     if scored:
         import os

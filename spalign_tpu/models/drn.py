@@ -299,6 +299,15 @@ def drn_d_105(**kw):
     return DRN(Bottleneck, (1, 1, 3, 4, 23, 3, 1, 1), arch="D", **kw)
 
 
+def batch_predict(model: "DRN", variables, images_rgb_0_255,
+                  train: bool = False):
+    """Reference-API convenience (models/drn.py:304-325 batch_predict):
+    (B, H, W, 3) RGB in [0, 255] -> (head_output, middle_maps), with the
+    ImageNet normalization applied inside."""
+    x = preprocess_imagenet(images_rgb_0_255)
+    return model.apply(variables, x, train=train)
+
+
 DRN_FACTORIES = {
     "drn_c_26": drn_c_26, "drn_c_42": drn_c_42, "drn_c_58": drn_c_58,
     "drn_d_22": drn_d_22, "drn_d_38": drn_d_38, "drn_d_54": drn_d_54,

@@ -180,7 +180,8 @@ class LabelGeneratorBase:
                         end_index: Optional[int] = None,
                         save: Optional[bool] = None,
                         writer: Optional[ResultWriter] = None,
-                        prefetch: int = 2):
+                        prefetch: int = 2,
+                        skip_done: Optional[set] = None):
         """Iterate a dataset of (img_uint8_full, label_ids) pairs in
         clustering batches, mirroring the reference main loop (including
         its keep-the-batchsize tail overlap, :538-544).
@@ -209,6 +210,15 @@ class LabelGeneratorBase:
                 j = min(i + bs, end_index)
             slices.append((i, j))
             i = j
+
+        if skip_done:
+            # crash-restart support: drop batches whose images were all
+            # processed in a previous run (reference restarts relied on
+            # manual --start_index bookkeeping)
+            slices = [
+                (i, j) for i, j in slices
+                if not all(_name(dataset, "image_name", idx) in skip_done
+                           for idx in range(i, j))]
 
         records = []
         for item in self._prefetched(dataset, slices, prefetch):

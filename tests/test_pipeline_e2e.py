@@ -167,3 +167,18 @@ class TestConfigVariants:
         imgs, _ = ds.resized_batch(range(2), (112, 112))
         fmaps = gen.features(jnp.asarray(imgs))
         assert fmaps.shape[-1] == 1024
+
+
+class TestResume:
+    def test_skip_done(self, tmp_path):
+        cfg = LabelGenConfig(
+            batchsize=2, resize_shape=(112, 112),
+            superpixel=SuperpixelConfig(method="slic", n_slic_segments=40,
+                                        slic_iters=3, max_superpixels=128),
+            out_dir=str(tmp_path), save_masks=False)
+        ds = SyntheticRoadScenes(n=4, full_shape=(128, 256), seed=33)
+        gen = SpalignLabelGenerator(cfg)
+        done = {ds.image_name(0), ds.image_name(1)}
+        records = gen.process_dataset(ds, save=False, skip_done=done)
+        names = {r["img_fn"] for r in records}
+        assert names == {ds.image_name(2), ds.image_name(3)}
