@@ -79,8 +79,10 @@ class RoundsDriver:
             trainer.state = jax.tree.map(jax.numpy.asarray, resume_state)
 
         dataset = self.make_train_dataset(label_source)
+        indices = (list(range(min(tc.n_use_data, len(dataset))))
+                   if tc.n_use_data else None)
         loader = PrefetchLoader(dataset, tc.batchsize, shuffle=True,
-                                seed=tc.seed + n_round)
+                                seed=tc.seed + n_round, indices=indices)
         evaluator = None
         if self.evaluator_factory is not None:
             evaluator = self.evaluator_factory(trainer)

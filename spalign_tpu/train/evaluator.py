@@ -61,7 +61,9 @@ class Evaluator:
         total = np.zeros((self.n_class, self.n_class), np.int64)
         for images, labels in self.batches_fn():
             batch = (jnp.asarray(images, jnp.float32), jnp.asarray(labels))
-            if self.mesh is not None:
+            if self.mesh is not None and (
+                    images.shape[0] % self.mesh.shape["data"] == 0):
+                # ragged tail batches (drop_last=False) run unsharded
                 batch = shard_batch(self.mesh, batch)
             total += np.asarray(self.eval_step(variables, *batch))
         return summarize_confusion(total)
