@@ -29,15 +29,41 @@ def snapshot_path(result_dir: str, step: int) -> str:
     return os.path.join(result_dir, f"snapshot_iter_{step}")
 
 
-def save_snapshot(result_dir: str, step: int, state) -> str:
+def save_snapshot(result_dir: str, step: int, state,
+                  backend: str = "pytree") -> str:
+    """backend='pytree' (default): self-contained single-file format.
+    backend='orbax': orbax-checkpoint directory (atomic, async-safe) —
+    for production deployments with shared filesystems."""
     os.makedirs(result_dir, exist_ok=True)
     path = snapshot_path(result_dir, step)
     host_state = jax.tree.map(np.asarray, state)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path) + ".orbax", host_state,
+                       force=True)
+        return path + ".orbax"
     save_pytree(host_state, path)
     return path
 
 
-def load_snapshot(path: str):
+def load_snapshot(path: str, template=None):
+    """Restore a snapshot.  Orbax directories need a ``template`` state
+    (e.g. from create_train_state) for structure/dtype resolution."""
+    if path.endswith(".orbax") or os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            if template is not None:
+                import jax as _jax
+
+                abstract = _jax.tree.map(
+                    lambda x: _jax.ShapeDtypeStruct(np.shape(x),
+                                                    np.asarray(x).dtype),
+                    template)
+                return ckptr.restore(os.path.abspath(path), abstract)
+            return ckptr.restore(os.path.abspath(path))
     return load_pytree(path)
 
 

@@ -185,3 +185,26 @@ class TestEvaluator:
         np.testing.assert_allclose(s["main/iou/road"], 35 / 50)
         np.testing.assert_allclose(s["main/precision"], 35 / 45)
         np.testing.assert_allclose(s["main/recall"], 35 / 40)
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, rng, tmp_path):
+        import pytest as _pytest
+
+        try:
+            import orbax.checkpoint  # noqa: F401
+        except Exception:
+            _pytest.skip("orbax not available")
+        from spalign_tpu.train.checkpoints import (load_snapshot,
+                                                   save_snapshot)
+
+        cfg = tiny_cfg(result_dir=str(tmp_path))
+        state = create_train_state(cfg, sample_batch_shape=(32, 64))
+        path = save_snapshot(str(tmp_path), 7, state, backend="orbax")
+        assert path.endswith(".orbax")
+        restored = load_snapshot(path, template=state)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert int(restored.step) == int(state.step)
