@@ -137,7 +137,9 @@ class EstimatedCityscapesDataset:
         self.resize_shape = tuple(resize_shape)
         self.augment = augment
         self.use_soft_label = use_soft_label
-        self._rng = np.random.RandomState(seed)
+        self._seed = seed
+        self._draws = 0
+        self._rng_lock = threading.Lock()
 
     def __len__(self):
         return len(self.img_fns)
@@ -161,8 +163,14 @@ class EstimatedCityscapesDataset:
             label = _resize_label_nn(label, self.resize_shape)
 
         if self.augment:
-            img = pca_lighting(img, 25.5, self._rng)
-            if self._rng.rand() > 0.5:
+            # fresh RNG per draw: RandomState is not thread-safe and the
+            # prefetch loader calls __getitem__ from worker threads
+            with self._rng_lock:
+                self._draws += 1
+                rng = np.random.RandomState(
+                    (self._seed * 1000003 + self._draws) % (2 ** 31))
+            img = pca_lighting(img, 25.5, rng)
+            if rng.rand() > 0.5:
                 img = img[:, ::-1]
                 label = label[:, ::-1]
 

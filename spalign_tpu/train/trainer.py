@@ -151,17 +151,20 @@ class Trainer:
         arrays with the GLOBAL batch size."""
         cfg = self.cfg
         last_loss = float("nan")
+        # track the step on host: reading state.step every iteration
+        # would be a device sync in the middle of the training loop
+        step = int(self.state.step)
+        self._dump_graph()
         for images, labels in train_iter:
-            step = int(self.state.step)
             if step >= cfg.train_iters:
                 break
             batch = shard_batch(self.mesh, (jnp.asarray(images),
                                             jnp.asarray(labels)))
             self.state, metrics = self.step_fn(self.state, *batch)
-            step = int(self.state.step)
-            last_loss = float(metrics["loss"])
+            step += 1
 
             if step % cfg.log_interval == 0 or step == cfg.train_iters:
+                last_loss = float(metrics["loss"])
                 rec = {"iteration": step, "main/loss": last_loss,
                        "grad_norm": float(metrics["grad_norm"]),
                        "lr": self._current_lr(step),
@@ -176,6 +179,25 @@ class Trainer:
                 if checkpointer is not None:
                     checkpointer(step, self.state)
         return self.state
+
+    def _dump_graph(self):
+        """Write the compiled train step's StableHLO once (the analog of
+        chainer extensions.dump_graph, train_segnet.py:279)."""
+        try:
+            h, w = self.cfg.input_shape
+            b = self.cfg.batchsize
+            lab_shape = ((b, h, w) if self.cfg.loss == "ce"
+                         else (b, h, w, self.cfg.n_class))
+            lab_dtype = jnp.int32 if self.cfg.loss == "ce" else jnp.float32
+            lowered = self.step_fn.lower(
+                self.state,
+                jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32),
+                jax.ShapeDtypeStruct(lab_shape, lab_dtype))
+            with open(os.path.join(self.cfg.result_dir,
+                                   "train_step.stablehlo.txt"), "w") as f:
+                f.write(lowered.as_text())
+        except Exception:
+            pass  # observability only; never block training
 
     def _current_lr(self, step: int) -> float:
         """Effective learning rate (the reference's observe_lr)."""
