@@ -115,16 +115,20 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
                 confs = np.asarray(conf_fn(preds, gt_dev))
 
             preds_np = np.asarray(preds, np.int32)
-            scores_np = np.asarray(scores)
+            scores_np = np.asarray(scores) if soft_label else None
             for b, j in enumerate(idx):
                 base = os.path.splitext(
                     os.path.basename(dataset.image_name(j)))[0]
                 writer.put(base, preds_np[b].astype(bool))
-                # CHW float scores, the reference's on-disk layout
-                # (labels_from_segnet.py:86-95)
-                writer.put(base + "_scores",
-                           scores_np[b].transpose(2, 0, 1).astype(
-                               score_dtype))
+                if soft_label:
+                    # CHW float scores, the reference's on-disk layout
+                    # (labels_from_segnet.py:86-95).  Unlike the
+                    # reference (which always writes both), hard-label
+                    # rounds skip the score members — they are never
+                    # read and dominate the zip size.
+                    writer.put(base + "_scores",
+                               scores_np[b].transpose(2, 0, 1).astype(
+                                   score_dtype))
                 rec = {"img_fn": dataset.image_name(j)}
                 if gts is not None:
                     rec.update(_scores_from_conf(confs[b]))

@@ -84,20 +84,19 @@ def test_two_rounds_end_to_end(tmp_path):
     state = load_snapshot(find_snapshot(r2))
     assert int(state.step) == 8
 
-    # relabel zips readable, both rounds, preds + scores per image
+    # relabel zips readable, both rounds; hard-label rounds write only
+    # pred members (scores are skipped as never read)
     for rdir, it in [(r1, 4), (r2, 8)]:
         zf_path = os.path.join(rdir, f"iter-{it}_eval-train.0.zip")
         assert os.path.exists(zf_path)
         with zipfile.ZipFile(zf_path) as zf:
             names = zf.namelist()
-        assert len(names) == N * 2
+        assert len(names) == N
         # loadable as npz
         with np.load(zf_path) as npz:
             key = [k for k in npz.files if not k.endswith("_scores")][0]
             pred = npz[key]
             assert pred.shape == HW and pred.dtype == bool
-            score = npz[key + "_scores"]
-            assert score.shape == (2, *HW)
         # relabel eval JSONL exists
         assert os.path.exists(os.path.join(
             rdir, f"iter-{it}_eval-train", "result.json"))
