@@ -314,12 +314,12 @@ class LabelGeneratorBase:
                 if cfg.save_images:
                     from spalign_tpu.utils.viz import save_diagnostic_panel
 
-                    item = dataset[idx]
+                    panel_img = _load_full_images(dataset, [idx])[0]
                     save_diagnostic_panel(
-                        cfg.out_dir, img_fn, item[0],
+                        cfg.out_dir, img_fn, panel_img,
                         up_road[b], up_cluster[b],
-                        create_label_mask(item[1])
-                        if item[1] is not None else None)
+                        create_label_mask(np.asarray(labels[b]))
+                        if labels is not None else None)
         if writer is not None:
             writer.append_many(records)
         return records

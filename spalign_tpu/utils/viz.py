@@ -25,6 +25,15 @@ def save_diagnostic_panel(out_dir, img_fn, img, road_mask, cluster_map,
                           label=None):
     """2x2 panel: overlay / GT / clusters / road mask."""
     plt = _plt()
+    img = np.asarray(img)
+    if road_mask.shape != img.shape[:2]:
+        import cv2
+
+        size = (img.shape[1], img.shape[0])
+        road_mask = cv2.resize(road_mask.astype(np.uint8), size,
+                               interpolation=cv2.INTER_NEAREST)
+        cluster_map = cv2.resize(cluster_map.astype(np.uint8), size,
+                                 interpolation=cv2.INTER_NEAREST)
     fig, axes = plt.subplots(2, 2)
     fig.set_dpi(150)
     for ax in axes.ravel():
