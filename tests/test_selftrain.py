@@ -131,3 +131,34 @@ def test_soft_label_round(tmp_path):
                           lambda: RelabelAdapter(ds))
     final_dir, final_zip = driver.run()
     assert os.path.exists(final_zip)
+
+
+def test_n_use_data_subsets_training(tmp_path):
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    cfg = RoundsConfig(n_round=1, iteration=2, val_iteration=2,
+                       batchsize=2, loss="ce",
+                       result_base_dir=str(tmp_path / "results"),
+                       eval_shape=HW)
+    tcfg = TrainConfig(model="basic", optimizer="Adam", input_shape=HW,
+                       eval_shape=HW, num_devices=2, n_use_data=4)
+
+    seen = []
+
+    def make_train_dataset(label_source):
+        base = EstimatedCityscapesDataset(img_dir,
+                                          label_source or init_zip, HW)
+
+        class Spy:
+            def __len__(self):
+                return len(base)
+
+            def __getitem__(self, i):
+                seen.append(i)
+                return base[i]
+
+        return Spy()
+
+    driver = RoundsDriver(cfg, tcfg, make_train_dataset,
+                          lambda: RelabelAdapter(ds))
+    driver.run()
+    assert seen and max(seen) < 4  # only the first n_use_data indices
