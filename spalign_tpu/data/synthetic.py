@@ -151,6 +151,22 @@ class SyntheticRoadScenes:
         img[sidewalk] += (tex[sidewalk] * 0.9)[..., None]
         img[road] += (tex[road] * 0.7)[..., None]
         img[sky] += (tex[sky] * 0.35)[..., None]
+
+        # High-contrast structure (dark window grids, tree crowns): the
+        # strong edges that stop graph-merge superpixel algorithms at
+        # canonical scales, as facades/vegetation do in real imagery.
+        wy = rng.randint(28, 52)
+        wx = rng.randint(20, 44)
+        windows = ((yy % wy < wy * 0.45) & (xx % wx < wx * 0.45)
+                   & building & (yf > 0.1))
+        img[windows] *= 0.28
+        for _ in range(rng.randint(2, 5)):
+            ty = rng.uniform(horizon - 0.12, horizon + 0.02)
+            tx = rng.uniform(0.05, 0.95)
+            tr = rng.uniform(0.03, 0.09)
+            tree = ((yf - ty) ** 2 + (xf - tx) ** 2 < tr ** 2) & ~road
+            img[tree] = (np.array([45, 70, 35], np.float32)
+                         + 12 * rng.randn(3).astype(np.float32))
         # mild chroma variation so segments differ in color too
         img[..., 0] += _value_noise(rng, h, w, 120, 9.0)
         img[..., 2] += _value_noise(rng, h, w, 90, 9.0)
