@@ -344,12 +344,17 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         with timers.stage("superpixel"):
             sps, counts = compute_superpixels(images_uint8, cfg.superpixel,
                                               device_images=imgs_dev)
-        # upload at the narrowest int width (upload bandwidth is the
-        # scarce resource on remote-attached TPUs); widened on device
-        if counts.max() < 2 ** 15:
+        # narrowest int width (upload bandwidth is scarce on
+        # remote-attached TPUs); widened on device.  The map ships as a
+        # HOST array: its transfer rides the fused program's dispatch,
+        # one fewer producer-side round trip.
+        if counts.max() < 2 ** 8:
+            sps = sps.astype(np.uint8)
+        elif counts.max() < 2 ** 15:
             sps = sps.astype(np.int16)
-        return {"imgs_dev": imgs_dev, "sps_dev": self._put(sps),
-                "counts": counts}
+        if self.mesh is not None:
+            sps = self._put(sps)
+        return {"imgs_dev": imgs_dev, "sps_dev": sps, "counts": counts}
 
     def _fused_program(self):
         """One jit program: DRN features + align + prior + k-means +
