@@ -279,11 +279,13 @@ class LabelGeneratorBase:
 
         records = []
         if labels is not None:
-            # labels are RAW labelIds (dataset convention); they ship to
-            # the device as uint8 and remap there
+            # labels are RAW labelIds (dataset convention); they ship as
+            # host uint8 through the scoring dispatch and remap on device
             with timers.stage("score"):
+                gt = (np.ascontiguousarray(labels) if self.mesh is None
+                      else self._put(labels))
                 confs = np.asarray(score_full_res(
-                    road, self._put(labels), tuple(labels.shape[1:])))
+                    road, gt, tuple(labels.shape[1:])))
         else:
             confs = [None] * (j - i)
 
