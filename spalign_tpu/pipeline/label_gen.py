@@ -237,11 +237,12 @@ class LabelGeneratorBase:
         return (i, j, imgs, labels, full_images, prepared, timers)
 
     def _prefetched(self, dataset, slices, depth):
-        """Host-prepare up to ``depth`` batches concurrently (results
-        consumed in order).  Host preparation — superpixels, union-find,
-        transfers — is the pipeline's critical path (~0.7 s/batch vs
-        ~0.15 s of device programs on v5e), so MULTIPLE producer threads
-        interleave their host work with each other's device waits."""
+        """Host-prepare batches up to ``depth`` ahead on one background
+        thread (results consumed in order).  Host preparation —
+        superpixels, union-find, transfers — is the pipeline's critical
+        path (~0.5 s/batch vs ~0.15 s of device programs on v5e), so
+        hiding it behind the consumer's device waits is the main
+        throughput lever."""
         if depth <= 0 or len(slices) <= 1:
             for i, j in slices:
                 yield self._load_slice(dataset, i, j)
