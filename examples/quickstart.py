@@ -96,8 +96,8 @@ rounds = RoundsDriver(
                  eval_shape=FULL),
     TrainConfig(model="basic", optimizer="Adam", input_shape=HW,
                 eval_shape=FULL),
-    make_train_dataset=lambda src: EstimatedCityscapesDataset(
-        img_dir, src or cfg.out_dir, HW),
+    make_train_dataset=lambda src, use_soft: EstimatedCityscapesDataset(
+        img_dir, src or cfg.out_dir, HW, use_soft_label=use_soft),
     make_relabel_dataset=lambda: RelabelView())
 final_dir, final_zip = rounds.run()
 print(f"self-training done: {final_dir}")

@@ -62,10 +62,10 @@ def main(argv=None):
     input_shape = tuple(args.input_shape)
     soft = loss in ("soft", "mse")
 
-    def make_train_dataset(label_source):
+    def make_train_dataset(label_source, use_soft):
         return EstimatedCityscapesDataset(
             args.img_zip, label_source or args.estimated_label_zip,
-            input_shape, augment=args.random, use_soft_label=soft)
+            input_shape, augment=args.random, use_soft_label=use_soft)
 
     class RelabelView:
         """Standardized images at input res + full-res gt labels."""

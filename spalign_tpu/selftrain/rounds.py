@@ -31,12 +31,19 @@ class RoundsDriver:
     Datasets are supplied as factories so each round can rebind the label
     source to the previous round's output:
 
-      make_train_dataset(label_source: str|None) -> dataset for training
-          (label_source None = the initial estimated labels)
+      make_train_dataset(label_source: str|None, use_soft: bool) ->
+          dataset for training (label_source None = the initial
+          estimated labels)
       make_relabel_dataset() -> dataset for relabeling (images at input
           res + full-res gt for bookkeeping)
       make_val_batches() -> iterable of (images, labels) eval batches,
           or None to skip eval
+
+    Loss schedule matches the reference: ROUND 1 always trains with hard
+    cross-entropy on the initial estimated labels (run_train_rounds.py
+    start_first_round passes no soft flag, :83-120); the configured
+    soft/MSE loss applies from round 2, where the relabel zips carry
+    score members.
     """
 
     def __init__(self, cfg: RoundsConfig, train_cfg: TrainConfig,
@@ -63,12 +70,15 @@ class RoundsDriver:
                      resume_state=None) -> str:
         cfg = self.cfg
         result_dir = self._round_dir(n_round)
+        # round 1 = hard CE on the initial estimated labels (they carry
+        # no scores); soft/mse kick in from round 2 (reference schedule)
+        round_loss = "ce" if n_round == 1 else cfg.loss
         tc = dataclasses.replace(
             self.train_cfg,
             train_iters=cfg.iteration * n_round,
             val_interval=cfg.val_iteration,
             log_interval=cfg.val_iteration,
-            loss=cfg.loss,
+            loss=round_loss,
             augment=cfg.augment,
             batchsize=cfg.batchsize,
             eval_shape=cfg.eval_shape,
@@ -78,7 +88,8 @@ class RoundsDriver:
         if resume_state is not None:
             trainer.state = jax.tree.map(jax.numpy.asarray, resume_state)
 
-        dataset = self.make_train_dataset(label_source)
+        dataset = self.make_train_dataset(
+            label_source, round_loss in ("soft", "mse"))
         indices = (list(range(min(tc.n_use_data, len(dataset))))
                    if tc.n_use_data else None)
         loader = PrefetchLoader(dataset, tc.batchsize, shuffle=True,

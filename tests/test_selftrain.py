@@ -66,10 +66,10 @@ def test_two_rounds_end_to_end(tmp_path):
     tcfg = TrainConfig(model="basic", optimizer="Adam", input_shape=HW,
                        eval_shape=HW, num_devices=4)
 
-    def make_train_dataset(label_source):
+    def make_train_dataset(label_source, use_soft):
         return EstimatedCityscapesDataset(
             img_dir, label_source or init_zip, HW,
-            use_soft_label=cfg.loss in ("soft", "mse"))
+            use_soft_label=use_soft)
 
     driver = RoundsDriver(cfg, tcfg, make_train_dataset,
                           lambda: RelabelAdapter(ds))
@@ -122,10 +122,10 @@ def test_soft_label_round(tmp_path):
     tcfg = TrainConfig(model="basic", optimizer="Adam", input_shape=HW,
                        eval_shape=HW, num_devices=2)
 
-    def make_train_dataset(label_source):
+    def make_train_dataset(label_source, use_soft):
         return EstimatedCityscapesDataset(img_dir,
                                           label_source or init_zip, HW,
-                                          use_soft_label=True)
+                                          use_soft_label=use_soft)
 
     driver = RoundsDriver(cfg, tcfg, make_train_dataset,
                           lambda: RelabelAdapter(ds))
@@ -144,7 +144,7 @@ def test_n_use_data_subsets_training(tmp_path):
 
     seen = []
 
-    def make_train_dataset(label_source):
+    def make_train_dataset(label_source, use_soft):
         base = EstimatedCityscapesDataset(img_dir,
                                           label_source or init_zip, HW)
 
