@@ -116,6 +116,7 @@ def format_summary(summary: Dict) -> str:
 
 def write_summary(out_dir: str, records: List[Dict]) -> Dict:
     summary = aggregate_results(records)
+    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "summary.txt"), "w") as fp:
         fp.write(format_summary(summary))
     return summary
