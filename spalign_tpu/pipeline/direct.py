@@ -20,7 +20,6 @@ over the full-resolution superpixel map on device.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,6 @@ from spalign_tpu.ops.prior import pixel_prior
 from spalign_tpu.ops.resize import nn_resize_cv2
 from spalign_tpu.pipeline.label_gen import LabelGeneratorBase
 from spalign_tpu.pipeline.superpixels import compute_superpixels
-from spalign_tpu.utils.timers import StageTimer
 
 
 @partial(jax.jit, static_argnames=("k", "n_iter", "prior_params"))
@@ -80,31 +78,53 @@ def overlaps_refine(road_small, superpixels_full, threshold: float,
 class DirectLabelGenerator(LabelGeneratorBase):
     """direct_clustering.py equivalent."""
 
-    def run_batch(self, images_uint8, timers: Optional[StageTimer] = None,
-                  full_images=None, prepared=None):
+    def _fused_program(self):
+        """Feature extractor + pixel clustering as ONE dispatch (the key
+        derives on device from a host seed scalar — see the spalign
+        generator for the rationale)."""
+        if self._fused is not None:
+            return self._fused
+        from spalign_tpu.pipeline.label_gen import build_feature_fn
+
         cfg = self.cfg
-        timers = timers or StageTimer()
-        if prepared is None:
-            prepared = self._host_prepare(images_uint8, full_images,
-                                          timers)
-        with timers.stage("feature_maps"):
-            fmaps = self.features(prepared["imgs_dev"])
-        with timers.stage("kmeans"):
-            road, cluster, res = direct_cluster(
-                fmaps, self._next_key(), k=cfg.kmeans.n_clusters,
+        feature_fn = build_feature_fn(self.model, self.variables,
+                                      cfg.use_feature_maps)
+
+        @jax.jit
+        def program(imgs, seed):
+            fmaps = feature_fn(imgs)
+            return direct_cluster(
+                fmaps, jax.random.key(seed), k=cfg.kmeans.n_clusters,
                 n_iter=cfg.kmeans.n_iter, prior_params=self._prior_params)
-        diag = {"kmeans_iters": int(res.n_iter),
-                "kmeans_converged": bool(res.converged),
-                "kmeans_empty_stop": bool(res.empty_stop)}
+
+        self._fused = program
+        return program
+
+    def dispatch_batch(self, prepared, timers) -> dict:
+        road, cluster, res = self._fused_program()(
+            prepared["imgs_dev"], self._next_seed())
+        handles = {"road": road, "cluster": cluster, "res": res}
         if "full_sps" in prepared:
+            # async dispatch; time_refine records enqueue cost only (the
+            # execution overlaps the next batch — see PARITY.md timing
+            # notes)
             with timers.stage("refine"):
-                refined = overlaps_refine(
-                    road, prepared["full_sps"], cfg.overlap_threshold,
-                    num_segments=cfg.superpixel.max_superpixels)
-            diag = dict(diag,
-                        n_superpixels=prepared["counts"].tolist())
-            return refined, cluster, diag, timers
-        return road, cluster, diag, timers
+                handles["road"] = overlaps_refine(
+                    road, prepared["full_sps"], self.cfg.overlap_threshold,
+                    num_segments=self.cfg.superpixel.max_superpixels)
+        return handles
+
+    def finish_batch(self, prepared, handles, timers):
+        res = handles["res"]
+        with timers.stage("kmeans"):
+            n_it, conv, empty = jax.device_get(
+                (res.n_iter, res.converged, res.empty_stop))
+        diag = {"kmeans_iters": int(n_it),
+                "kmeans_converged": bool(conv),
+                "kmeans_empty_stop": bool(empty)}
+        if "counts" in prepared:
+            diag["n_superpixels"] = prepared["counts"].tolist()
+        return handles["road"], handles["cluster"], diag
 
 
 class OverlapsLabelGenerator(DirectLabelGenerator):

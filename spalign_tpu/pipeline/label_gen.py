@@ -13,9 +13,16 @@ jit-compiled device program:
                         -> painted masks -> (optional) full-res confusion
 
 Only the superpixel frontend may touch the host (felzenszwalb mode; SLIC
-runs on device), and only tiny confusion matrices (B x 2 x 2 ints) leave
-the chip in the scoring path.  Saving masks/images is optional and off
-the hot path.
+runs on device).  Scoring downloads the small clustering-resolution
+masks and runs on the host (downloads are nearly free on this class of
+remote-attached TPU; uploads are the scarce resource).  Saving
+masks/images is optional and off the hot path.
+
+The host loop is a two-stage software pipeline: a producer thread
+prepares (decodes, segments, uploads) `prefetch` batches ahead, and the
+consumer keeps `in_flight` batches of device programs dispatched before
+blocking on the oldest batch's results — so neither host work nor fetch
+round-trips leave the device channel idle.
 """
 
 from __future__ import annotations
@@ -110,6 +117,31 @@ def score_full_res(road_masks, label_ids_full, full_hw):
     return jax.vmap(lambda p, g: confusion_matrix(p, g, 2))(up, gt)
 
 
+def host_confusion(road_mask: np.ndarray,
+                   label_ids_full: np.ndarray) -> np.ndarray:
+    """Host-side equivalent of one image of :func:`score_full_res`
+    (bit-identical: nn_resize_cv2 implements the cv2 NN convention).
+
+    On remote-attached TPUs, uploads dominate (~40 ms fixed + limited
+    bandwidth) while downloads are cheap — so shipping 2 MB/img of raw
+    labelIds up just to get a 2x2 matrix back is the wrong direction.
+    The hot loop downloads the small clustering-resolution masks and
+    scores here instead, off the serialized device channel.
+    """
+    import cv2
+
+    h, w = label_ids_full.shape
+    pred = road_mask.astype(np.uint8)
+    if pred.shape != (h, w):
+        pred = cv2.resize(pred, (w, h), interpolation=cv2.INTER_NEAREST)
+    gt = label_ids_full.astype(np.int32)
+    gt = np.where(gt <= 6, -1, np.where(gt == 7, 1, 0))  # labels.py remap
+    valid = gt >= 0
+    idx = gt[valid] * 2 + pred[valid]
+    return np.bincount(idx.ravel(), minlength=4).reshape(2, 2) \
+        .astype(np.int64)
+
+
 @partial(jax.jit, static_argnames=("full_hw",))
 def upsample_masks(road_masks, cluster_maps, full_hw):
     return (nn_resize_cv2(road_masks.astype(jnp.uint8), full_hw),
@@ -121,6 +153,7 @@ class LabelGeneratorBase:
     (spalign / direct / overlaps).  Subclasses implement run_batch."""
 
     needs_full_images = False
+    in_flight = 2  # batches dispatched ahead of the blocking fetch
 
     def __init__(self, cfg: LabelGenConfig, variables=None,
                  model_name: str = "drn_c_26", seed: Optional[int] = None,
@@ -146,8 +179,12 @@ class LabelGeneratorBase:
         self.features = jax.jit(build_feature_fn(
             self.model, self.variables, cfg.use_feature_maps))
         self._fused = None  # built lazily by subclasses
-        self.key = jax.random.key(cfg.kmeans.seed
-                                  if seed is None else seed)
+        # per-batch PRNG seeds are drawn on the HOST and folded into a
+        # jax key inside the fused program: a host integer rides the
+        # dispatch for free, while jax.random.split on a device-resident
+        # key would be one extra device round trip per batch
+        self._seed_rng = np.random.RandomState(
+            cfg.kmeans.seed if seed is None else seed)
         p = cfg.prior
         self._prior_params = (p.y_rel_pos, p.x_rel_pos, p.y_rel_sigma,
                               p.x_rel_sigma)
@@ -162,9 +199,8 @@ class LabelGeneratorBase:
 
         return jax.device_put(arr, data_sharding(self.mesh))
 
-    def _next_key(self):
-        self.key, k = jax.random.split(self.key)
-        return k
+    def _next_seed(self) -> np.uint32:
+        return np.uint32(self._seed_rng.randint(0, 2 ** 31))
 
     def _host_prepare(self, images_uint8, full_images, timers) -> dict:
         """Host+transfer work for one batch (image upload, superpixels,
@@ -172,9 +208,34 @@ class LabelGeneratorBase:
         overlaps the device programs of the previous batch."""
         return {"imgs_dev": self._put(images_uint8)}
 
+    def dispatch_batch(self, prepared, timers) -> dict:
+        """Enqueue this batch's device programs WITHOUT blocking; returns
+        a dict of device-array handles for finish_batch.  The
+        dispatch/finish split keeps multiple batches in flight on the
+        device (see process_dataset)."""
+        raise NotImplementedError
+
+    def finish_batch(self, prepared, handles, timers):
+        """Block on this batch's results (rare retries happen here).
+
+        Returns (road_masks device (B,h,w) bool, cluster_maps device
+        (B,h,w) int32, diagnostics dict)."""
+        raise NotImplementedError
+
     def run_batch(self, images_uint8, timers=None, full_images=None,
                   prepared=None):
-        raise NotImplementedError
+        """Synchronous single-batch API: host-prepare + dispatch + finish.
+
+        images_uint8: (B,h,w,3) RGB at cfg.resize_shape.
+        Returns (road_masks (B,h,w) bool, cluster_maps int32,
+        diagnostics dict, StageTimer)."""
+        timers = timers or StageTimer()
+        if prepared is None:
+            prepared = self._host_prepare(images_uint8, full_images,
+                                          timers)
+        handles = self.dispatch_batch(prepared, timers)
+        road, cluster, diag = self.finish_batch(prepared, handles, timers)
+        return road, cluster, diag, timers
 
     def process_dataset(self, dataset, start_index: int = 0,
                         end_index: Optional[int] = None,
@@ -220,10 +281,26 @@ class LabelGeneratorBase:
                 if not all(_name(dataset, "image_name", idx) in skip_done
                            for idx in range(i, j))]
 
+        # Software pipeline, two overlapping windows:
+        #   * `prefetch` batches of HOST lookahead (decode, superpixels,
+        #     uploads) on the producer thread;
+        #   * `in_flight` batches of DEVICE lookahead: dispatch batch
+        #     N+1's programs before blocking on batch N's results, so the
+        #     per-batch fetch round-trip (the retry predicate + scores)
+        #     never leaves the device channel idle.
         records = []
+        from collections import deque
+
+        pending = deque()
         for item in self._prefetched(dataset, slices, prefetch):
-            records.extend(self._process_loaded(dataset, item, save,
-                                                writer))
+            handles = self.dispatch_batch(item[5], item[6])
+            pending.append((item, handles))
+            if len(pending) > self.in_flight:
+                records.extend(self._finish_loaded(
+                    dataset, *pending.popleft(), save=save, writer=writer))
+        while pending:
+            records.extend(self._finish_loaded(
+                dataset, *pending.popleft(), save=save, writer=writer))
         return records
 
     def _load_slice(self, dataset, i, j):
@@ -271,22 +348,23 @@ class LabelGeneratorBase:
                 submit_next()
                 yield item
 
-    def _process_loaded(self, dataset, item, save, writer):
+    def _finish_loaded(self, dataset, item, handles, *, save, writer):
         cfg = self.cfg
         i, j, imgs, labels, full_images, prepared, timers = item
-        road, cluster, diag, timers = self.run_batch(
-            imgs, timers=timers, full_images=full_images,
-            prepared=prepared)
+        road, cluster, diag = self.finish_batch(prepared, handles, timers)
 
         records = []
         if labels is not None:
-            # labels are RAW labelIds (dataset convention); they ship as
-            # host uint8 through the scoring dispatch and remap on device
+            # labels are RAW labelIds (dataset convention); the masks
+            # come DOWN (downloads are cheap) and score on the host —
+            # uploading 2 MB/img of labelIds for a 2x2 result would eat
+            # the scarce up-link (see host_confusion)
             with timers.stage("score"):
-                gt = (np.ascontiguousarray(labels) if self.mesh is None
-                      else self._put(labels))
-                confs = np.asarray(score_full_res(
-                    road, gt, tuple(labels.shape[1:])))
+                road_np = np.asarray(road)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    confs = list(ex.map(host_confusion, road_np, labels))
         else:
             confs = [None] * (j - i)
 
@@ -314,15 +392,28 @@ class LabelGeneratorBase:
                         up_road[b].astype(np.uint8))
                 np.save(os.path.join(cfg.out_dir, base + "_all_cluster"),
                         up_cluster[b].astype(np.uint8))
-                if cfg.save_images:
+                if labels is None:
+                    # no-GT mode also writes the raw 0/1 mask as a PNG,
+                    # the format the demo-video compositor consumes
+                    # (reference utils/apply_spalign_kmeans.py:70-71)
+                    import cv2
+
+                    cv2.imwrite(
+                        os.path.join(cfg.out_dir,
+                                     os.path.basename(img_fn)),
+                        up_road[b].astype(np.uint8))
+                if cfg.save_images and labels is not None:
+                    # panel shares the mask PNG's filename, so it only
+                    # exists in the GT mode — exactly the reference split
+                    # (batch_spalign_kmeans.py:361-387 writes panels,
+                    # apply_spalign_kmeans.py writes raw masks)
                     from spalign_tpu.utils.viz import save_diagnostic_panel
 
                     panel_img = _load_full_images(dataset, [idx])[0]
                     save_diagnostic_panel(
                         cfg.out_dir, img_fn, panel_img,
                         up_road[b], up_cluster[b],
-                        create_label_mask(np.asarray(labels[b]))
-                        if labels is not None else None)
+                        create_label_mask(np.asarray(labels[b])))
         if writer is not None:
             writer.append_many(records)
         return records
@@ -371,7 +462,11 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         s = cfg.superpixel.max_superpixels
 
         @jax.jit
-        def program(imgs, sps, key):
+        def program(imgs, sps, seed):
+            # the key is derived ON DEVICE from a host integer seed — a
+            # plain scalar rides the dispatch, where a device-side
+            # jax.random.split would cost a round trip per batch
+            key = jax.random.key(seed)
             fmaps = feature_fn(imgs)
             road, cluster, assign, res = spalign_cluster(
                 fmaps, sps, key,
@@ -385,40 +480,36 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         self._fused = program
         return program
 
-    def run_batch(self, images_uint8, timers: Optional[StageTimer] = None,
-                  full_images=None, prepared=None):
-        """images_uint8: (B,h,w,3) RGB at cfg.resize_shape.
+    def dispatch_batch(self, prepared, timers) -> dict:
+        road, cluster, assign, res, ok = self._fused_program()(
+            prepared["imgs_dev"], prepared["sps_dev"], self._next_seed())
+        return {"road": road, "cluster": cluster, "assign": assign,
+                "res": res, "ok": ok}
 
-        Returns (road_masks (B,h,w) bool np, cluster_maps int32 np,
-        diagnostics dict)."""
+    def finish_batch(self, prepared, handles, timers):
+        """Fetch the batch's results; on the (rare) degenerate-clustering
+        signal, retry with a fresh seed — the optimistic dispatch means
+        the common path pays no extra round trip."""
         cfg = self.cfg
-        timers = timers or StageTimer()
-        if prepared is None:
-            prepared = self._host_prepare(images_uint8, full_images,
-                                          timers)
-        imgs_dev = prepared["imgs_dev"]
-        sps_dev = prepared["sps_dev"]
-        counts = prepared["counts"]
-        program = self._fused_program()
-
-        road = cluster = assign = None
         with timers.stage("kmeans"):
             for attempt in range(max(1, cfg.kmeans.max_retries)):
-                road, cluster, assign, res, ok = program(
-                    imgs_dev, sps_dev, self._next_key())
+                res = handles["res"]
                 # one transfer for every scalar (each separate int()/
                 # bool() would be its own device round-trip)
                 n_it, conv, empty, ok_np = jax.device_get(
-                    (res.n_iter, res.converged, res.empty_stop, ok))
-                if bool(ok_np):
+                    (res.n_iter, res.converged, res.empty_stop,
+                     handles["ok"]))
+                if bool(ok_np) or attempt + 1 >= max(
+                        1, cfg.kmeans.max_retries):
                     break
+                handles = self.dispatch_batch(prepared, timers)
         diag = {
             "kmeans_iters": int(n_it),
             "kmeans_converged": bool(conv),
             "kmeans_empty_stop": bool(empty),
-            "n_superpixels": counts.tolist(),
+            "n_superpixels": prepared["counts"].tolist(),
         }
-        return road, cluster, diag, timers
+        return handles["road"], handles["cluster"], diag
 
 
 def _confusion_record(conf) -> dict:

@@ -126,6 +126,15 @@ class TestNoLabelMode:
         assert all("road_iou" not in r for r in records)
         assert len(glob.glob(os.path.join(str(tmp_path),
                                           "*leftImg8bit.npy"))) == 3
+        # viewable PNG masks, the reference apply_spalign_kmeans.py:70-71
+        # output format (raw 0/1 uint8, read back by the video tools)
+        import cv2
+
+        pngs = sorted(glob.glob(os.path.join(str(tmp_path),
+                                             "*leftImg8bit.png")))
+        assert len(pngs) == 3
+        m = cv2.imread(pngs[0], cv2.IMREAD_GRAYSCALE)
+        assert m.shape == (112, 112) and set(np.unique(m)) <= {0, 1}
 
 
 class TestBF16:
@@ -143,7 +152,45 @@ class TestBF16:
         assert all(np.isfinite(r["road_iou"]) for r in records)
 
 
+class TestHostScoring:
+    def test_host_confusion_matches_device_op(self, rng):
+        """The hot loop scores on the host (uploads are scarce on
+        remote-attached TPUs); must stay bit-identical to the device
+        score_full_res op."""
+        import jax.numpy as jnp
+
+        from spalign_tpu.pipeline.label_gen import (host_confusion,
+                                                    score_full_res)
+
+        road = rng.rand(3, 56, 56) > 0.6
+        labels = rng.randint(0, 34, (3, 224, 448)).astype(np.uint8)
+        dev = np.asarray(score_full_res(jnp.asarray(road),
+                                        jnp.asarray(labels), (224, 448)))
+        for b in range(3):
+            host = host_confusion(road[b], labels[b])
+            np.testing.assert_array_equal(host, dev[b])
+
+    def test_host_confusion_full_res_pred(self, rng):
+        """Overlaps mode hands over masks already at label resolution."""
+        from spalign_tpu.pipeline.label_gen import host_confusion
+
+        road = rng.rand(64, 128) > 0.5
+        labels = rng.randint(0, 34, (64, 128)).astype(np.uint8)
+        conf = host_confusion(road, labels)
+        valid = ~np.isin(labels, range(7))
+        assert conf.sum() == valid.sum()
+
+
 class TestConfigVariants:
+    def test_n_neighbors_not_4_rejected(self):
+        """The reference's 4-nearest rule == closed-form 2x2 bilinear;
+        other values must raise, not silently degrade (round-1 review)."""
+        from spalign_tpu.config import AlignConfig
+
+        with pytest.raises(ValueError, match="n_neighbors=8"):
+            AlignConfig(n_neighbors=8)
+        AlignConfig(n_neighbors=4)  # the supported value passes
+
     def test_without_pos_and_multimap(self, tmp_path):
         """--without_pos (no centroid features) and multi-map concat
         (--use_feature_maps 6 7), the reference's flag surface."""
