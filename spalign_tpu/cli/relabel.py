@@ -25,6 +25,9 @@ def get_args(argv=None):
                    choices=["float32", "float16"],
                    help="on-disk dtype for soft-label scores (float16 "
                         "halves the output zip)")
+    p.add_argument("--save_panels", action="store_true", default=False,
+                   help="write the 1x3 overlay/GT/prediction panel per "
+                        "image (reference labels_from_segnet.py:97-119)")
     return p.parse_args(argv)
 
 
@@ -55,7 +58,8 @@ def main(argv=None):
         model, variables, dataset, out_zip,
         eval_shape=tuple(args.eval_shape), batch_size=args.batchsize,
         soft_label=args.soft_label, out_dir=args.out_dir,
-        score_dtype=getattr(np, args.score_dtype))
+        score_dtype=getattr(np, args.score_dtype),
+        save_panels=args.save_panels)
     print(f"wrote {len(records)} predictions to {out_zip}")
 
 

@@ -61,8 +61,21 @@ class AlignConfig:
     """Superpixel-align pooling (reference batch_spalign_kmeans.py:210-276)."""
 
     n_anchors: int = 10
-    n_neighbors: int = 4  # kept for config parity; bilinear uses the 2x2 cell
+    # The reference's "n_neighbors nearest cells" reduces in closed form
+    # to the enclosing 2x2 bilinear cell when n_neighbors == 4 (the only
+    # value its shell wrappers ever use) — see ops/align.py.  Other
+    # values would need a different interpolation scheme, so they are
+    # rejected rather than silently ignored.
+    n_neighbors: int = 4
     append_pos: bool = True  # append the superpixel center of mass (y, x)
+
+    def __post_init__(self):
+        if self.n_neighbors != 4:
+            raise ValueError(
+                f"n_neighbors={self.n_neighbors} is not supported: the "
+                "4-nearest-cells rule of the reference is implemented as "
+                "its closed-form 2x2 bilinear equivalent (ops/align.py), "
+                "which only exists for n_neighbors=4")
 
 
 @dataclass(frozen=True)

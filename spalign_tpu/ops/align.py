@@ -18,6 +18,14 @@ Deviation from the reference (documented): when an anchor lands exactly on
 a cell-center row/column (ties in the 4-nearest argsort), the reference's
 result depends on unstable GPU sort tie-breaking; we resolve ties to the
 mathematically exact bilinear value instead.
+
+On n_neighbors: the reference exposes ``--n_neighbors`` but every shipped
+configuration uses 4 (utils/create_val_labels.sh:25), and for 4 neighbors
+its argsort+bbox construction (:244-254) selects exactly the 2x2 grid
+cell enclosing the anchor — which is what the closed form below computes.
+For any other neighbor count the bbox/bilinear arithmetic of the
+reference is not even well-defined (its asserts at :249-254 fire), so
+AlignConfig rejects n_neighbors != 4 instead of silently ignoring it.
 """
 
 from __future__ import annotations

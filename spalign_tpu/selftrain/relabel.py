@@ -74,12 +74,19 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
                     eval_shape=(1024, 2048), batch_size: int = 8,
                     soft_label: bool = True, mesh=None,
                     out_dir: Optional[str] = None,
-                    score_dtype=np.float32):
+                    score_dtype=np.float32,
+                    save_panels: bool = False):
     """Predict labels for every image in ``dataset`` and stream them into
     ``out_zip``.
 
     dataset[i] must return (standardized image at input res, full-res gt
     label in {-1,0,1} or None); dataset.image_name(i) names the outputs.
+
+    save_panels: write the reference's 1x3 diagnostic panel per image
+    (overlay / GT / prediction, labels_from_segnet.py:97-119) into
+    ``out_dir``.  Needs ``dataset.full_images`` for the raw overlay image
+    (the reference reloads it from disk via PIL); panels are skipped with
+    a warning when the dataset cannot provide it.
 
     Returns the list of per-image eval records (empty metrics when no gt).
     """
@@ -91,6 +98,12 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
 
     writer = NpzShardWriter(out_zip)
     results = ResultWriter(out_dir) if out_dir else None
+    if save_panels and not (out_dir and hasattr(dataset, "full_images")):
+        import warnings
+
+        warnings.warn("save_panels needs out_dir and a dataset with "
+                      "full_images(); skipping panels")
+        save_panels = False
     records = []
     n = len(dataset)
     try:
@@ -133,6 +146,14 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
                 if gts is not None:
                     rec.update(_scores_from_conf(confs[b]))
                 records.append(rec)
+                if save_panels:
+                    from spalign_tpu.utils.viz import save_prediction_panel
+
+                    save_prediction_panel(
+                        out_dir, dataset.image_name(j),
+                        dataset.full_images([j])[0],
+                        preds_np[b].astype(bool),
+                        gts[b] if gts is not None else None)
             if results:
                 results.append_many(records[-len(idx):])
     finally:

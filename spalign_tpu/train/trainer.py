@@ -178,6 +178,8 @@ class Trainer:
                     self._plots()
                 if checkpointer is not None:
                     checkpointer(step, self.state)
+                self._flush_log()
+        self._flush_log()
         return self.state
 
     def _dump_graph(self):
@@ -246,8 +248,17 @@ class Trainer:
             plt.close(fig)
 
     def _report(self, rec):
+        """O(1) per entry: stream a JSONL line (log.jsonl); the
+        reference-format `log` JSON array is rewritten only at eval
+        points and at the end of fit (_flush_log), not per report."""
         self._log.append(rec)
-        with open(self._log_path, "w") as f:
-            json.dump(self._log, f, indent=2)
+        with open(self._log_path + ".jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
         print(" ".join(f"{k}={v:.6g}" if isinstance(v, float) else
                        f"{k}={v}" for k, v in rec.items()))
+
+    def _flush_log(self):
+        """Chainer-LogReport-format dump (one JSON array named `log`),
+        the file make_table/eval.tables consume (train_segnet.py:278)."""
+        with open(self._log_path, "w") as f:
+            json.dump(self._log, f, indent=2)

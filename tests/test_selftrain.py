@@ -37,6 +37,9 @@ class RelabelAdapter:
         img = (img.astype(np.float32) - CITYSCAPES_MEAN) / CITYSCAPES_STD
         return img, (lab == 7).astype(np.int32)
 
+    def full_images(self, indices):
+        return [np.asarray(self.ds[i][0], np.uint8) for i in indices]
+
 
 def setup_sources(tmp_path):
     ds = SyntheticRoadScenes(n=N, full_shape=HW, seed=13)
@@ -131,6 +134,29 @@ def test_soft_label_round(tmp_path):
                           lambda: RelabelAdapter(ds))
     final_dir, final_zip = driver.run()
     assert os.path.exists(final_zip)
+
+
+def test_relabel_panels(tmp_path):
+    """--save_panels writes the reference's 1x3 diagnostic panel per
+    image (labels_from_segnet.py:97-119)."""
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    adapter = RelabelAdapter(ds)
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, *HW, 3), np.float32))
+    out_dir = str(tmp_path / "panels")
+    relabel_dataset(model, variables, adapter,
+                    str(tmp_path / "labels.0.zip"), eval_shape=HW,
+                    batch_size=4, soft_label=False, out_dir=out_dir,
+                    save_panels=True)
+    pngs = glob.glob(os.path.join(out_dir, "*leftImg8bit.png"))
+    assert len(pngs) == N
+    assert cv2.imread(pngs[0]) is not None  # valid image files
 
 
 def test_n_use_data_subsets_training(tmp_path):
