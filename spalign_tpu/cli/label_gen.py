@@ -50,6 +50,11 @@ def get_args(argv=None):
     p.add_argument("--start_index", type=int, default=0)
     p.add_argument("--end_index", type=int, default=None)
     p.add_argument("--seed", type=int, default=1111)
+    p.add_argument("--kmeans_init", default="device",
+                   choices=["device", "reference"],
+                   help="'reference' replays the reference's exact "
+                        "numpy seed-1111 k-means init stream (bit-parity "
+                        "mode; slower)")
     p.add_argument("--save_images", action="store_true", default=False)
     p.add_argument("--no_save_masks", action="store_true", default=False)
     p.add_argument("--model_dtype", default="float32",
@@ -83,7 +88,8 @@ def config_from_args(args) -> LabelGenConfig:
         align=AlignConfig(n_anchors=args.n_anchors,
                           n_neighbors=args.n_neighbors,
                           append_pos=not args.without_pos),
-        kmeans=KMeansConfig(n_clusters=args.n_clusters, seed=args.seed),
+        kmeans=KMeansConfig(n_clusters=args.n_clusters, seed=args.seed,
+                            init=args.kmeans_init),
         overlap_threshold=args.overlap_threshold,
         out_dir=args.out_dir,
         save_images=args.save_images,

@@ -88,6 +88,16 @@ class KMeansConfig:
     # number of full re-runs if an image ends up with an empty road mask
     # (replaces the reference's broken retry recursion at :201-205)
     max_retries: int = 3
+    # 'device': jax-PRNG seeding shuffle, fully fused program (default).
+    # 'reference': bit-parity mode — float64 host prior + the reference's
+    # exact numpy seed-1111 init stream feeding the device Lloyd loop
+    # (ops/parity.py; slower: one host round trip per batch).
+    init: str = "device"
+
+    def __post_init__(self):
+        if self.init not in ("device", "reference"):
+            raise ValueError(f"init must be 'device' or 'reference', "
+                             f"got {self.init!r}")
 
 
 @dataclass(frozen=True)

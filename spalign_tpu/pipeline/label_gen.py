@@ -117,6 +117,12 @@ def score_full_res(road_masks, label_ids_full, full_hw):
     return jax.vmap(lambda p, g: confusion_matrix(p, g, 2))(up, gt)
 
 
+# labelIds -> confusion code: void (0..6) -> 0, road (7) -> 2, other -> 1
+_CONF_LUT = np.zeros(256, np.uint8)
+_CONF_LUT[8:] = 1
+_CONF_LUT[7] = 2
+
+
 def host_confusion(road_mask: np.ndarray,
                    label_ids_full: np.ndarray) -> np.ndarray:
     """Host-side equivalent of one image of :func:`score_full_res`
@@ -127,6 +133,10 @@ def host_confusion(road_mask: np.ndarray,
     labelIds up just to get a 2x2 matrix back is the wrong direction.
     The hot loop downloads the small clustering-resolution masks and
     scores here instead, off the serialized device channel.
+
+    Implementation: one uint8 LUT gather + one bincount over
+    ``code*2 + pred`` (codes 0/1 are void rows, dropped) — no boolean
+    indexing, ~30 ms per 2 MP image vs ~110 ms for the naive remap.
     """
     import cv2
 
@@ -134,12 +144,9 @@ def host_confusion(road_mask: np.ndarray,
     pred = road_mask.astype(np.uint8)
     if pred.shape != (h, w):
         pred = cv2.resize(pred, (w, h), interpolation=cv2.INTER_NEAREST)
-    gt = label_ids_full.astype(np.int32)
-    gt = np.where(gt <= 6, -1, np.where(gt == 7, 1, 0))  # labels.py remap
-    valid = gt >= 0
-    idx = gt[valid] * 2 + pred[valid]
-    return np.bincount(idx.ravel(), minlength=4).reshape(2, 2) \
-        .astype(np.int64)
+    idx = _CONF_LUT[label_ids_full] * 2 + pred  # uint8, values 0..5
+    c = np.bincount(idx.ravel(), minlength=6)
+    return np.array([[c[2], c[3]], [c[4], c[5]]], np.int64)
 
 
 @partial(jax.jit, static_argnames=("full_hw",))
@@ -184,6 +191,10 @@ class LabelGeneratorBase:
         # dispatch for free, while jax.random.split on a device-resident
         # key would be one extra device round trip per batch
         self._seed_rng = np.random.RandomState(
+            cfg.kmeans.seed if seed is None else seed)
+        # bit-parity mode's replica of the reference's process-global
+        # numpy RNG (np.random.seed(1111), batch_spalign_kmeans.py:33-35)
+        self._parity_rng = np.random.RandomState(
             cfg.kmeans.seed if seed is None else seed)
         p = cfg.prior
         self._prior_params = (p.y_rel_pos, p.x_rel_pos, p.y_rel_sigma,
@@ -360,11 +371,11 @@ class LabelGeneratorBase:
             # uploading 2 MB/img of labelIds for a 2x2 result would eat
             # the scarce up-link (see host_confusion)
             with timers.stage("score"):
+                # serial on purpose: the LUT+bincount kernel is
+                # GIL-bound, measured slower under a thread pool
                 road_np = np.asarray(road)
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=8) as ex:
-                    confs = list(ex.map(host_confusion, road_np, labels))
+                confs = [host_confusion(r, l)
+                         for r, l in zip(road_np, labels)]
         else:
             confs = [None] * (j - i)
 
@@ -442,13 +453,15 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         # remote-attached TPUs); widened on device.  The map ships as a
         # HOST array: its transfer rides the fused program's dispatch,
         # one fewer producer-side round trip.
+        sps_host = sps
         if counts.max() < 2 ** 8:
             sps = sps.astype(np.uint8)
         elif counts.max() < 2 ** 15:
             sps = sps.astype(np.int16)
         if self.mesh is not None:
             sps = self._put(sps)
-        return {"imgs_dev": imgs_dev, "sps_dev": sps, "counts": counts}
+        return {"imgs_dev": imgs_dev, "sps_dev": sps, "counts": counts,
+                "sps_host": sps_host}
 
     def _fused_program(self):
         """One jit program: DRN features + align + prior + k-means +
@@ -481,8 +494,88 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         return program
 
     def dispatch_batch(self, prepared, timers) -> dict:
+        if self.cfg.kmeans.init == "reference":
+            return self._dispatch_parity(prepared, timers)
         road, cluster, assign, res, ok = self._fused_program()(
             prepared["imgs_dev"], prepared["sps_dev"], self._next_seed())
+        return {"road": road, "cluster": cluster, "assign": assign,
+                "res": res, "ok": ok}
+
+    def _parity_programs(self):
+        """Bit-parity mode splits the fused program in two around the
+        host-side init: (A) features + align, (B) Lloyd from an explicit
+        initial assignment + painting.  The anchor key derivation in A
+        matches spalign_cluster's, so device and parity modes sample the
+        same anchors for the same seed."""
+        if getattr(self, "_parity", None) is not None:
+            return self._parity
+        cfg = self.cfg
+        feature_fn = build_feature_fn(self.model, self.variables,
+                                      cfg.use_feature_maps)
+        s = cfg.superpixel.max_superpixels
+
+        @jax.jit
+        def stage_a(imgs, sps, seed):
+            sps = sps.astype(jnp.int32)
+            k_align, _ = jax.random.split(jax.random.key(seed))
+            align_keys = jax.random.split(k_align, sps.shape[0])
+            fmaps = feature_fn(imgs)
+            return jax.vmap(
+                lambda fm, sp, kk: superpixel_align(
+                    fm, sp, kk, cfg.align.n_anchors, s,
+                    cfg.align.append_pos)
+            )(fmaps, sps, align_keys)  # (B,S,C'), (B,S)
+
+        @jax.jit
+        def stage_b(sps, feats, prior, valid, assign0):
+            from spalign_tpu.ops.kmeans import weighted_kmeans_from_init
+
+            sps = sps.astype(jnp.int32)
+            b = sps.shape[0]
+            res = weighted_kmeans_from_init(
+                feats.reshape(b * s, -1), prior.reshape(-1),
+                valid.reshape(-1), assign0.reshape(-1),
+                k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter)
+            assign = res.assignment.reshape(b, s)
+            cluster = paint_clusters(sps, assign)
+            road = cluster == 0
+            ok = jnp.all(jnp.any(road, axis=(1, 2)))
+            return road, cluster, assign, res, ok
+
+        self._parity = (stage_a, stage_b)
+        return self._parity
+
+    def _dispatch_parity(self, prepared, timers) -> dict:
+        """Reference-RNG pipeline: device align, float64 host prior +
+        exact seed-1111 init (ops/parity.py), device Lloyd.  The host
+        round trip makes this a fidelity mode, not the fast path."""
+        from spalign_tpu.ops.parity import (reference_seed_assignment,
+                                            superpixel_prior_host)
+
+        cfg = self.cfg
+        s = cfg.superpixel.max_superpixels
+        stage_a, stage_b = self._parity_programs()
+        feats, valid = stage_a(prepared["imgs_dev"], prepared["sps_dev"],
+                               self._next_seed())
+        counts = prepared["counts"]
+        p = cfg.prior
+        with timers.stage("prior"):
+            compact = [superpixel_prior_host(
+                prepared["sps_host"][i], p.y_rel_pos, p.x_rel_pos,
+                p.y_rel_sigma, p.x_rel_sigma)
+                for i in range(len(counts))]
+        a_cat = reference_seed_assignment(
+            np.concatenate(compact), cfg.kmeans.n_clusters,
+            self._parity_rng)
+        prior = np.zeros((len(counts), s), np.float32)
+        assign0 = np.full((len(counts), s), -1, np.int32)
+        o = 0
+        for i, n_i in enumerate(counts):
+            prior[i, :n_i] = compact[i]
+            assign0[i, :n_i] = a_cat[o:o + n_i]
+            o += int(n_i)
+        road, cluster, assign, res, ok = stage_b(
+            prepared["sps_dev"], feats, prior, valid, assign0)
         return {"road": road, "cluster": cluster, "assign": assign,
                 "res": res, "ok": ok}
 
