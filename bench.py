@@ -1,92 +1,278 @@
-"""Benchmark: label-generation throughput on real TPU hardware.
+"""Benchmarks on real TPU hardware: label generation (all three modes)
+and SegNet training.
 
-Measures the framework's headline workload — the superpixel-align
-road-label pipeline (DRN-C-26 features + on-device SLIC superpixels +
-align + prior + joint weighted k-means + mask painting) — in steady state
-at the reference configuration (clustering batch 30, 224x224 inputs,
-k=4, 10 anchors).
+Default invocation (``python bench.py``, the driver contract) times the
+headline workload — the superpixel-align road-label pipeline (DRN-C-26
+features + on-device SLIC superpixels + align + prior + joint weighted
+k-means + mask painting) — at the reference configuration (clustering
+batch 30, 224x224 inputs, k=4, 10 anchors) and prints ONE JSON line
+``{"metric", "value", "unit", "vs_baseline"}``.
+
+Other workloads (``--mode``):
+  felzenszwalb  the reference's headline superpixel engine (scale 300,
+                sigma 0.8, min 20; native C++ host op overlapped with
+                device compute)
+  overlaps      the Distantly-Supervised baseline: full-resolution
+                (1024x2048) host felzenszwalb (scale 500, sigma 0.9,
+                superpixel_overlaps.py defaults) + device refinement
+  train         SegNetBasic train step at the full reference recipe
+                (512x1024, global batch 8, Adam + CE) -> ms/step
+  all           every row above, one JSON line each
+
+``--breakdown`` additionally prints per-stage wall-clock means and a
+device-program MFU estimate to stderr (stdout stays machine-readable).
 
 Baseline derivation (no throughput numbers are published for the
 reference; see BASELINE.md): the reference's per-batch wall clock on one
 2017-class GPU decomposes as DRN forward (~0.6 s / 30 imgs), felzenszwalb
-on CPU (~0.05 s/img), the per-superpixel Python align loop (dominant:
-~0.3-0.7 s/img of tiny CuPy kernel launches), prior (host numpy), and
-GPU k-means (~1-2 s/batch) — roughly 25 s per 30-image batch, i.e.
-~1.2 img/s. vs_baseline reports against that estimate.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+on CPU (~0.05 s/img at 224x224), the per-superpixel Python align loop
+(dominant: ~0.3-0.7 s/img of tiny CuPy kernel launches), prior (host
+numpy), and GPU k-means (~1-2 s/batch) — roughly 25 s per 30-image
+batch, i.e. ~1.2 img/s.  ``vs_baseline`` reports against that estimate.
+For ``train``, the baseline is the reference's 8-GPU ChainerMN recipe
+(README.md:157-170); no step time is published, so vs_baseline is the
+conservative 350 ms/step estimate of BASELINE.md's hardware class.
 """
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
 
-REFERENCE_IMAGES_PER_SEC = 1.2  # documented estimate, see module docstring
+REFERENCE_IMAGES_PER_SEC = 1.2   # documented estimate, module docstring
+REFERENCE_TRAIN_MS_PER_STEP = 350.0  # 8x 2017-class GPUs, global batch 8
+
+BATCH = 30
+N_BATCHES_TIMED = 5
+FULL_SHAPE = (1024, 2048)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def _label_gen_cfg(mode: str):
     from spalign_tpu.config import LabelGenConfig, SuperpixelConfig
+
+    if mode == "slic":
+        sp = SuperpixelConfig(method="slic", n_slic_segments=100,
+                              slic_iters=10, max_superpixels=256)
+        return LabelGenConfig(batchsize=BATCH, superpixel=sp,
+                              save_masks=False)
+    if mode == "felzenszwalb":
+        # the reference's canonical hyperparameters
+        # (utils/create_val_labels.sh: scale 300, sigma 0.8, min 20)
+        sp = SuperpixelConfig(method="felzenszwalb",
+                              felzenszwalb_scale=300.0,
+                              felzenszwalb_sigma=0.8,
+                              felzenszwalb_min_size=20,
+                              max_superpixels=2048)
+        return LabelGenConfig(batchsize=BATCH, superpixel=sp,
+                              save_masks=False)
+    if mode == "overlaps":
+        # superpixel_overlaps.py:309-378 defaults: FULL-RES felzenszwalb
+        # scale 500, sigma 0.9
+        sp = SuperpixelConfig(method="felzenszwalb",
+                              felzenszwalb_scale=500.0,
+                              felzenszwalb_sigma=0.9,
+                              felzenszwalb_min_size=20,
+                              max_superpixels=65536)
+        return LabelGenConfig(mode="overlaps", batchsize=BATCH,
+                              superpixel=sp, save_masks=False)
+    raise ValueError(mode)
+
+
+class _InMemory:
+    """Unlabeled dataset of pre-rendered frames (image DECODE cost is a
+    property of the storage format, not the pipeline; the real loader
+    prefetches it behind device compute anyway)."""
+
+    def __init__(self, frames, fulls=None):
+        self.frames = frames
+        self.fulls = fulls
+        self.n_src = len(frames)
+
+    def __len__(self):
+        return N_BATCHES_TIMED * BATCH
+
+    def image_name(self, i):
+        return f"bench_{i:06d}.png"
+
+    def resized_batch(self, indices, hw):
+        return self.frames[[i % self.n_src for i in indices]], None
+
+    def full_images(self, indices):
+        return self.fulls[[i % self.n_src for i in indices]]
+
+
+def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
+    import jax
+
     from spalign_tpu.data.synthetic import SyntheticRoadScenes
-    from spalign_tpu.pipeline.label_gen import SpalignLabelGenerator
+    from spalign_tpu.pipeline.direct import make_label_generator
 
-    batch = 30
-    cfg = LabelGenConfig(
-        batchsize=batch,
-        superpixel=SuperpixelConfig(method="slic", n_slic_segments=100,
-                                    slic_iters=10, max_superpixels=256),
-        save_masks=False)
+    cfg = _label_gen_cfg(mode)
+    ds = SyntheticRoadScenes(n=BATCH * 2, full_shape=FULL_SHAPE, seed=7)
+    gen = make_label_generator(cfg)
 
-    n_batches_timed = 5
-    ds = SyntheticRoadScenes(n=batch * 2, full_shape=(1024, 2048), seed=7)
-    gen = SpalignLabelGenerator(cfg)
-
-    # Pre-render scenes into memory (image DECODE cost is a property of
-    # the storage format, not the pipeline; the real loader prefetches
-    # it behind device compute anyway).
-    imgs_a, _ = ds.resized_batch(range(batch), cfg.resize_shape)
-    imgs_b, _ = ds.resized_batch(range(batch, 2 * batch), cfg.resize_shape)
-
-    class InMemory:
-        """Unlabeled dataset of pre-rendered frames."""
-
-        frames = np.concatenate([imgs_a, imgs_b])
-
-        def __len__(self):
-            return n_batches_timed * batch
-
-        def image_name(self, i):
-            return f"bench_{i:06d}.png"
-
-        def resized_batch(self, indices, hw):
-            return self.frames[[i % (2 * batch) for i in indices]], None
+    imgs_a, _ = ds.resized_batch(range(BATCH), cfg.resize_shape)
+    imgs_b, _ = ds.resized_batch(range(BATCH, 2 * BATCH), cfg.resize_shape)
+    fulls = None
+    if gen.needs_full_images:
+        fulls = np.stack([ds[i][0] for i in range(2 * BATCH)])
+    mem = _InMemory(np.concatenate([imgs_a, imgs_b]), fulls)
 
     # Warmup: compile every program involved.
-    for b in (imgs_a, imgs_b):
-        road, _, _, _ = gen.run_batch(b)
+    for b, off in ((imgs_a, 0), (imgs_b, BATCH)):
+        full = fulls[off:off + BATCH] if fulls is not None else None
+        road, _, _, _ = gen.run_batch(b, full_images=full)
     jax.block_until_ready(road)
 
     # The remote-attached TPU tunnel adds noisy latency; take the best of
     # three repetitions as the steady-state number.
-    best_dt = float("inf")
+    best_dt, best_records = float("inf"), None
     for _ in range(3):
         t0 = time.time()
-        records = gen.process_dataset(InMemory(), save=False)
+        records = gen.process_dataset(mem, save=False)
         dt = time.time() - t0
-        assert len(records) == n_batches_timed * batch
-        best_dt = min(best_dt, dt)
+        assert len(records) == N_BATCHES_TIMED * BATCH
+        if dt < best_dt:
+            best_dt, best_records = dt, records
+    imgs_per_sec = BATCH * N_BATCHES_TIMED / best_dt
 
-    imgs_per_sec = batch * n_batches_timed / best_dt
-    print(json.dumps({
-        "metric": "label_gen_images_per_sec",
-        "value": round(float(imgs_per_sec), 3),
-        "unit": "img/s",
-        "vs_baseline": round(float(imgs_per_sec / REFERENCE_IMAGES_PER_SEC),
-                             2),
-    }))
+    if breakdown:
+        _print_breakdown(mode, gen, best_records, imgs_per_sec)
+
+    metric = ("label_gen_images_per_sec" if mode == "slic"
+              else f"label_gen_{mode}_images_per_sec")
+    return {"metric": metric,
+            "value": round(float(imgs_per_sec), 3),
+            "unit": "img/s",
+            "vs_baseline": round(
+                float(imgs_per_sec / REFERENCE_IMAGES_PER_SEC), 2)}
+
+
+def _print_breakdown(mode, gen, records, imgs_per_sec):
+    """Stage means + a device-side MFU estimate, to stderr."""
+    import jax
+
+    stages = {}
+    for r in records:
+        for k, v in r.items():
+            if k.startswith("time_"):
+                stages.setdefault(k, []).append(v)
+    print(f"--- {mode}: {imgs_per_sec:.1f} img/s; per-batch stage means "
+          f"(s; host wall-clock, stages overlap across pipeline slots):",
+          file=sys.stderr)
+    for k, v in sorted(stages.items()):
+        # each record in a batch carries the batch's times; dedupe 1/BATCH
+        print(f"    {k:<18} {np.mean(v):8.4f}", file=sys.stderr)
+
+    # Device-only time of the fused program (execution, not dispatch):
+    # vary the seed so the runtime's memoization cannot shortcut it.
+    try:
+        prog = gen._fused_program()
+        cfgb = gen.cfg
+        imgs = np.random.RandomState(0).randint(
+            0, 255, (cfgb.batchsize, *cfgb.resize_shape, 3), np.uint8)
+        sps = None
+        if cfgb.mode == "spalign":
+            from spalign_tpu.pipeline.superpixels import \
+                compute_superpixels
+            sps, _ = compute_superpixels(imgs, cfgb.superpixel)
+        ts = []
+        for s in range(3):
+            t0 = time.time()
+            if cfgb.mode == "spalign":
+                out = prog(imgs, sps, np.uint32(1234 + s),
+                           np.int32(cfgb.kmeans.n_clusters))
+            else:
+                out = prog(imgs, np.uint32(1234 + s),
+                           np.int32(cfgb.kmeans.n_clusters))
+            jax.block_until_ready(out)
+            ts.append(time.time() - t0)
+        dev_t = min(ts)
+        lowered = (prog.lower(imgs, sps, np.uint32(1), np.int32(4))
+                   if cfgb.mode == "spalign"
+                   else prog.lower(imgs, np.uint32(1), np.int32(4)))
+        flops = lowered.compile().cost_analysis().get("flops", 0.0)
+        peak = 197e12  # v5e bf16 peak; f32 ~ half
+        print(f"    device program    {dev_t:8.4f}  "
+              f"({cfgb.batchsize / dev_t:.0f} img/s device-bound, "
+              f"~{flops / dev_t / peak * 100:.1f}% of bf16 peak "
+              f"[{flops / 1e9:.1f} GFLOP/batch])", file=sys.stderr)
+    except Exception as e:  # breakdown must never break the bench
+        print(f"    (device-program probe unavailable: {e})",
+              file=sys.stderr)
+
+
+def bench_train(breakdown: bool = False) -> dict:
+    """SegNetBasic train step at the full reference recipe
+    (train_segnet.py:41-94: 512x1024 crops, global batch 8, Adam, CE)."""
+    import jax
+
+    from spalign_tpu.config import TrainConfig
+    from spalign_tpu.parallel import make_mesh, shard_batch
+    from spalign_tpu.train.trainer import (create_train_state,
+                                           make_train_step)
+
+    cfg = TrainConfig(model="basic", batchsize=8, optimizer="Adam",
+                      loss="ce", input_shape=(512, 1024))
+    n_dev = 1
+    while cfg.batchsize % (n_dev * 2) == 0 and n_dev * 2 <= len(
+            jax.devices()):
+        n_dev *= 2
+    mesh = make_mesh(n_dev)
+    step_fn = make_train_step(cfg)
+    state = create_train_state(cfg)
+    from spalign_tpu.parallel import replicate
+    rep = replicate(mesh)
+    state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+    rng = np.random.RandomState(0)
+    h, w = cfg.input_shape
+
+    def batch(i):
+        imgs = rng.rand(cfg.batchsize, h, w, 3).astype(np.float32)
+        labels = rng.randint(-1, 2, (cfg.batchsize, h, w)).astype(np.int32)
+        return (shard_batch(mesh, imgs), shard_batch(mesh, labels))
+
+    state, _ = step_fn(state, *batch(0))  # compile
+    jax.block_until_ready(state.params)
+
+    n_steps = 10
+    best = float("inf")
+    for _ in range(3):
+        bs = [batch(i) for i in range(n_steps)]  # fresh inputs (memoizer)
+        t0 = time.time()
+        for imgs, labels in bs:
+            state, metrics = step_fn(state, imgs, labels)
+        jax.block_until_ready(state.params)
+        best = min(best, (time.time() - t0) / n_steps)
+
+    ms = best * 1000.0
+    if breakdown:
+        print(f"--- train: {ms:.1f} ms/step on {n_dev} device(s), global "
+              f"batch {cfg.batchsize} @ {h}x{w}; 2000-iter recipe ≈ "
+              f"{2000 * best / 60:.1f} min", file=sys.stderr)
+    return {"metric": "segnet_train_ms_per_step",
+            "value": round(ms, 2), "unit": "ms/step",
+            "vs_baseline": round(REFERENCE_TRAIN_MS_PER_STEP / ms, 2)}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", default="slic",
+                   choices=["slic", "felzenszwalb", "overlaps", "train",
+                            "all"])
+    p.add_argument("--breakdown", action="store_true",
+                   help="print per-stage means + MFU estimate to stderr")
+    args = p.parse_args()
+
+    modes = (["slic", "felzenszwalb", "overlaps", "train"]
+             if args.mode == "all" else [args.mode])
+    for m in modes:
+        row = (bench_train(args.breakdown) if m == "train"
+               else bench_label_gen(m, args.breakdown))
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -65,28 +65,47 @@ def main(argv=None):
 
     os.makedirs(os.path.dirname(sweep_args.sweep_out) or ".",
                 exist_ok=True)
+
+    # ONE generator for the whole grid.  The reference fanned each grid
+    # point out as its own cluster job; with minutes-long tunnel compiles
+    # the equivalent here (a fresh generator per value) would spend hours
+    # recompiling identical programs.  Instead:
+    #   * k sweeps compile ONCE: dynamic_k makes the cluster count a
+    #     runtime value (ops/kmeans.py:weighted_kmeans_dynamic);
+    #   * host-only parameters (felzenszwalb scale/sigma, batchsize, ...)
+    #     swap via reconfigure(), which keeps every compiled program
+    #     unless a program-baked field changed.
+    # The CSV carries the trace count so compile sharing is auditable.
+    dynamic_k = (int(max(values)) if param == "kmeans.n_clusters"
+                 else None)
+    gen = make_label_generator(base_cfg, variables=variables,
+                               model_name=base_args.model,
+                               seed=base_args.seed, dynamic_k=dynamic_k)
     rows = []
     for v in values:
         if param in ("kmeans.n_clusters", "batchsize"):
             v = int(v)
         cfg = set_nested(base_cfg, param, v)
         cfg = dataclasses.replace(
-            cfg, out_dir=os.path.join(cfg.out_dir, f"{param}={v}"))
-        gen = make_label_generator(cfg, variables=variables,
-                                   model_name=base_args.model,
-                                   seed=base_args.seed)
+            cfg, out_dir=os.path.join(base_cfg.out_dir, f"{param}={v}"))
+        gen.reconfigure(cfg)
         records = gen.process_dataset(dataset, save=False)
         agg = aggregate_results([r for r in records if "road_iou" in r])
-        rows.append((v, agg))
+        traces = gen.n_program_traces()
+        rows.append((v, agg, traces))
         print(f"{param}={v}: road IoU={agg['road_mean_iou']:.4f} "
-              f"P={agg['precision']:.4f} R={agg['recall']:.4f}")
+              f"P={agg['precision']:.4f} R={agg['recall']:.4f} "
+              f"(program traces so far: {traces})")
 
     with open(sweep_args.sweep_out, "w") as f:
-        f.write(f"{param},road_mean_iou,precision,recall,n\n")
-        for v, agg in rows:
+        f.write(f"{param},road_mean_iou,precision,recall,n,"
+                f"program_traces\n")
+        for v, agg, traces in rows:
             f.write(f"{v},{agg['road_mean_iou']},{agg['precision']},"
-                    f"{agg['recall']},{agg['n']}\n")
-    print(f"wrote {sweep_args.sweep_out}")
+                    f"{agg['recall']},{agg['n']},{traces}\n")
+    print(f"wrote {sweep_args.sweep_out} "
+          f"(fused program traced {rows[-1][2]}x for {len(values)} "
+          f"configurations)")
 
 
 if __name__ == "__main__":

@@ -69,8 +69,9 @@ def _init_centers(h: int, w: int, n_segments: int):
 def _use_pallas_default() -> bool:
     # Measured on TPU v5e: XLA fuses the masked-distance + argmin pattern
     # into ~2 ms/img, while the Pallas variant pays per-block dispatch
-    # overheads (13 ms/img).  The kernel stays available for future
-    # tuning but is off by default.
+    # overheads (13 ms/img).  The kernel is demoted to
+    # kernels/experimental/ (see its __init__ for the numbers) and is
+    # opt-in only.
     return False
 
 
@@ -85,8 +86,9 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
     actual grid size (close to n_segments).  Labels are NOT guaranteed
     4-connected; call native.enforce_connectivity for strict parity.
 
-    use_pallas: fuse the assignment step into a Pallas TPU kernel
-    (kernels/slic_pallas.py) — default on TPU backends, off on CPU.
+    use_pallas: fuse the assignment step into the experimental Pallas
+    TPU kernel (kernels/experimental/slic_pallas.py) — opt-in; the XLA
+    path measured faster (see kernels/experimental/__init__.py).
     """
     h, w, _ = image.shape
     centers_yx_np, step = _init_centers(h, w, n_segments)
@@ -117,7 +119,7 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas:
-        from spalign_tpu.kernels.slic_pallas import (pack_centers,
+        from spalign_tpu.kernels.experimental.slic_pallas import (pack_centers,
                                                      pack_pixels,
                                                      slic_assign_pallas)
 

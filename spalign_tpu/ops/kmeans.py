@@ -43,14 +43,15 @@ def _median_threshold(weights: jnp.ndarray, valid: jnp.ndarray):
     return w_sorted[n_valid // 2]
 
 
-def kmeans_seed_assignment(weights: jnp.ndarray, valid: jnp.ndarray, k: int,
+def kmeans_seed_assignment(weights: jnp.ndarray, valid: jnp.ndarray, k,
                            key: jax.Array) -> jnp.ndarray:
     """Initial assignment (reference :141-149).
 
     Cluster 0 <- weight > median(weight); the rest receive round-robin
     labels 1..k-1 in a uniformly random order (distribution-identical to
     the reference's ``shuffle(arange(m) % (k-1) + 1)``).
-    Invalid rows get -1.
+    Invalid rows get -1.  ``k`` may be a python int or a traced scalar
+    (the dynamic-k sweep path).
     """
     n = weights.shape[0]
     thr = _median_threshold(weights, valid)
@@ -68,9 +69,14 @@ def kmeans_seed_assignment(weights: jnp.ndarray, valid: jnp.ndarray, k: int,
     return jnp.where(valid, assign, -1).astype(jnp.int32)
 
 
-def _cluster_means(X, assign, row_weights, k):
-    """Weighted per-cluster means via one-hot matmul. assign==-1 excluded."""
-    onehot = (assign[:, None] == jnp.arange(k)[None, :]).astype(X.dtype)
+def _cluster_means(X, assign, row_weights, k_slots):
+    """Weighted per-cluster means via one-hot matmul. assign==-1 excluded.
+
+    k_slots is the STATIC number of center rows; in dynamic-k mode it is
+    k_max and slots >= k stay empty (their means are non-finite but are
+    masked out of the assignment step)."""
+    onehot = (assign[:, None] == jnp.arange(k_slots)[None, :]).astype(
+        X.dtype)
     wo = onehot * row_weights[:, None]  # (N, k)
     sums = jnp.einsum("nk,nd->kd", wo, X,
                       preferred_element_type=jnp.float32)
@@ -78,12 +84,17 @@ def _cluster_means(X, assign, row_weights, k):
     return sums / denom  # may be non-finite for empty clusters, as in ref
 
 
-def _assign_step(X, centers, valid):
-    """argmin_k ||x - c_k|| with invalid rows -> -1."""
+def _assign_step(X, centers, valid, cluster_valid=None):
+    """argmin_k ||x - c_k|| with invalid rows -> -1.
+
+    cluster_valid: optional (k_slots,) bool — slots beyond the runtime k
+    in dynamic-k mode; their (non-finite) distances are masked to +inf."""
     x2 = jnp.sum(X * X, axis=-1, keepdims=True)  # (N, 1)
     c2 = jnp.sum(centers * centers, axis=-1)[None, :]  # (1, k)
     xc = X @ centers.T  # (N, k) — MXU
     d2 = x2 - 2.0 * xc + c2
+    if cluster_valid is not None:
+        d2 = jnp.where(cluster_valid[None, :], d2, jnp.inf)
     new_assign = jnp.argmin(d2, axis=-1).astype(jnp.int32)
     return jnp.where(valid, new_assign, -1)
 
@@ -114,11 +125,41 @@ def weighted_kmeans_from_init(X: jnp.ndarray, weights: jnp.ndarray,
                               n_iter: int = 1000) -> KMeansResult:
     """Lloyd loop given an explicit initial assignment (testing hook and
     building block of ``weighted_kmeans``)."""
+    return _lloyd(X, weights, valid, assign0, k_slots=k,
+                  cluster_valid=None, n_iter=n_iter)
+
+
+@partial(jax.jit, static_argnames=("k_max", "n_iter"))
+def weighted_kmeans_dynamic(X: jnp.ndarray, weights: jnp.ndarray,
+                            valid: jnp.ndarray, key: jax.Array, k,
+                            *, k_max: int, n_iter: int = 1000
+                            ) -> KMeansResult:
+    """``weighted_kmeans`` with a RUNTIME cluster count.
+
+    ``k`` is a traced scalar in [2, k_max]; center rows k..k_max-1 stay
+    empty and are masked out of every assignment step.  One compiled
+    program covers a whole k-sweep (the fig-7 ablation grid,
+    reference utils/dmux/run_exp_fig-7.sh, reruns the pipeline once per
+    k — here only the first value pays the compile).
+    Returned centers have k_max rows; rows >= k are meaningless.
+    """
+    k = jnp.asarray(k, jnp.int32)
+    assign0 = kmeans_seed_assignment(weights, valid, k, key)
+    cluster_valid = jnp.arange(k_max) < k
+    return _lloyd(X, weights, valid, assign0, k_slots=k_max,
+                  cluster_valid=cluster_valid, n_iter=n_iter)
+
+
+def _lloyd(X, weights, valid, assign0, *, k_slots: int, cluster_valid,
+           n_iter: int) -> KMeansResult:
+    """The Lloyd while_loop shared by the static-k and dynamic-k entry
+    points (reference Lloyd semantics, batch_spalign_kmeans.py:153-189)."""
     X = X.astype(jnp.float32)
     weights = weights.astype(jnp.float32)
     w_other = 1.0 - weights
     ones = jnp.where(valid, 1.0, 0.0)
-    centers0 = _cluster_means(X, assign0, ones, k)  # unweighted init (:150)
+    # unweighted init (:150)
+    centers0 = _cluster_means(X, assign0, ones, k_slots)
 
     # Effective row weight given an assignment: prior for cluster 0,
     # (1 - prior) for the others (:163-171); zero for invalid rows.
@@ -132,13 +173,17 @@ def weighted_kmeans_from_init(X: jnp.ndarray, weights: jnp.ndarray,
 
     def body(state):
         assign, centers, it, done, converged, empty_stop = state
-        new_assign = _assign_step(X, centers, valid)
+        new_assign = _assign_step(X, centers, valid, cluster_valid)
         same = jnp.all(new_assign == assign)
 
-        new_centers = _cluster_means(X, new_assign, eff_w(new_assign), k)
+        new_centers = _cluster_means(X, new_assign, eff_w(new_assign),
+                                     k_slots)
         counts = jnp.sum(
-            (new_assign[:, None] == jnp.arange(k)[None, :]), axis=0)
-        any_empty = jnp.any(counts == 0)
+            (new_assign[:, None] == jnp.arange(k_slots)[None, :]), axis=0)
+        empty = counts == 0
+        if cluster_valid is not None:
+            empty = jnp.logical_and(empty, cluster_valid)
+        any_empty = jnp.any(empty)
 
         # On `same`, the reference breaks before updating centers; keep the
         # old centers in that case for faithfulness of the returned state.

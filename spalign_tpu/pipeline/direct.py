@@ -23,18 +23,18 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from spalign_tpu.ops.kmeans import weighted_kmeans
+from spalign_tpu.ops.kmeans import weighted_kmeans, weighted_kmeans_dynamic
 from spalign_tpu.ops.prior import pixel_prior
 from spalign_tpu.ops.resize import nn_resize_cv2
 from spalign_tpu.pipeline.label_gen import LabelGeneratorBase
 from spalign_tpu.pipeline.superpixels import compute_superpixels
 
 
-@partial(jax.jit, static_argnames=("k", "n_iter", "prior_params"))
-def direct_cluster(feature_maps, key, *, k: int, n_iter: int,
-                   prior_params):
-    """(B, hf, wf, C) -> road/cluster maps at feature resolution."""
+def _pixel_features(feature_maps, prior_params):
+    """Flattened per-pixel rows + tiled feature-resolution prior
+    (reference direct_clustering.py:300-309)."""
     b, h, w, c = feature_maps.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
@@ -42,12 +42,32 @@ def direct_cluster(feature_maps, key, *, k: int, n_iter: int,
     coords = jnp.tile(coords, (b, 1))
     X = jnp.concatenate(
         [feature_maps.reshape(b * h * w, c), coords], axis=-1)
-
     prior = pixel_prior(h, w, *prior_params).reshape(-1)
-    prior = jnp.tile(prior, (b,))
+    return X, jnp.tile(prior, (b,))
 
+
+@partial(jax.jit, static_argnames=("k", "n_iter", "prior_params"))
+def direct_cluster(feature_maps, key, *, k: int, n_iter: int,
+                   prior_params):
+    """(B, hf, wf, C) -> road/cluster maps at feature resolution."""
+    b, h, w, _ = feature_maps.shape
+    X, prior = _pixel_features(feature_maps, prior_params)
     valid = jnp.ones((b * h * w,), bool)
     res = weighted_kmeans(X, prior, valid, key, k=k, n_iter=n_iter)
+    cluster_maps = res.assignment.reshape(b, h, w)
+    return cluster_maps == 0, cluster_maps, res
+
+
+@partial(jax.jit, static_argnames=("k_max", "n_iter", "prior_params"))
+def direct_cluster_dynamic(feature_maps, key, k, *, k_max: int,
+                           n_iter: int, prior_params):
+    """``direct_cluster`` with a runtime cluster count (<= k_max); one
+    compiled program covers a k-sweep (see ops/kmeans.py)."""
+    b, h, w, _ = feature_maps.shape
+    X, prior = _pixel_features(feature_maps, prior_params)
+    valid = jnp.ones((b * h * w,), bool)
+    res = weighted_kmeans_dynamic(X, prior, valid, key, k, k_max=k_max,
+                                  n_iter=n_iter)
     cluster_maps = res.assignment.reshape(b, h, w)
     return cluster_maps == 0, cluster_maps, res
 
@@ -91,10 +111,15 @@ class DirectLabelGenerator(LabelGeneratorBase):
                                       cfg.use_feature_maps)
 
         @jax.jit
-        def program(imgs, seed):
+        def program(imgs, seed, k):
             fmaps = feature_fn(imgs)
-            return direct_cluster(
-                fmaps, jax.random.key(seed), k=cfg.kmeans.n_clusters,
+            if self.dynamic_k is None:
+                return direct_cluster(
+                    fmaps, jax.random.key(seed), k=cfg.kmeans.n_clusters,
+                    n_iter=cfg.kmeans.n_iter,
+                    prior_params=self._prior_params)
+            return direct_cluster_dynamic(
+                fmaps, jax.random.key(seed), k, k_max=self.dynamic_k,
                 n_iter=cfg.kmeans.n_iter, prior_params=self._prior_params)
 
         self._fused = program
@@ -102,7 +127,8 @@ class DirectLabelGenerator(LabelGeneratorBase):
 
     def dispatch_batch(self, prepared, timers) -> dict:
         road, cluster, res = self._fused_program()(
-            prepared["imgs_dev"], self._next_seed())
+            prepared["imgs_dev"], self._next_seed(),
+            np.int32(self.cfg.kmeans.n_clusters))
         handles = {"road": road, "cluster": cluster, "res": res}
         if "full_sps" in prepared:
             # async dispatch; time_refine records enqueue cost only (the
@@ -147,7 +173,7 @@ class OverlapsLabelGenerator(DirectLabelGenerator):
 
 
 def make_label_generator(cfg, variables=None, model_name="drn_c_26",
-                         seed=None):
+                         seed=None, dynamic_k=None):
     """Mode dispatcher: one CLI, three pipelines (replaces the three
     near-identical reference scripts)."""
     from spalign_tpu.pipeline.label_gen import SpalignLabelGenerator
@@ -155,4 +181,5 @@ def make_label_generator(cfg, variables=None, model_name="drn_c_26",
     cls = {"spalign": SpalignLabelGenerator,
            "direct": DirectLabelGenerator,
            "overlaps": OverlapsLabelGenerator}[cfg.mode]
-    return cls(cfg, variables=variables, model_name=model_name, seed=seed)
+    return cls(cfg, variables=variables, model_name=model_name, seed=seed,
+               dynamic_k=dynamic_k)

@@ -40,7 +40,8 @@ from spalign_tpu.data.labels import create_label_mask
 from spalign_tpu.eval.results import ResultWriter
 from spalign_tpu.models.drn import DRN_FACTORIES, preprocess_imagenet
 from spalign_tpu.ops.align import superpixel_align
-from spalign_tpu.ops.kmeans import paint_clusters, weighted_kmeans
+from spalign_tpu.ops.kmeans import (paint_clusters, weighted_kmeans,
+                                    weighted_kmeans_dynamic)
 from spalign_tpu.ops.metrics import confusion_matrix
 from spalign_tpu.ops.prior import pixel_prior
 from spalign_tpu.ops.resize import nn_resize_cv2
@@ -58,6 +59,32 @@ def build_feature_fn(model, variables, use_maps):
         return jnp.concatenate([maps[i] for i in use_maps], axis=-1)
 
     return features
+
+
+def _align_and_prior(feature_maps, superpixels, key, n_anchors, s,
+                     append_pos, prior_params):
+    """Shared prefix of the fused programs: per-superpixel aligned
+    features + segment-mean Gaussian prior.  Returns (feats (B,S,C'),
+    valid (B,S), prior (B,S), k_seed)."""
+    b, h, w = superpixels.shape
+    k_align, k_seed = jax.random.split(key)
+    align_keys = jax.random.split(k_align, b)
+    feats, valid = jax.vmap(
+        lambda fm, sp, kk: superpixel_align(
+            fm, sp, kk, n_anchors, s, append_pos)
+    )(feature_maps, superpixels, align_keys)  # (B,S,C'), (B,S)
+
+    prior_pix = pixel_prior(h, w, *prior_params)  # (h,w) static
+    prior = jax.vmap(
+        lambda sp: segment_mean(prior_pix.reshape(-1), sp.reshape(-1), s)
+    )(superpixels)  # (B,S)
+    return feats, valid, prior, k_seed
+
+
+def _paint(superpixels, res, b, s):
+    assign = res.assignment.reshape(b, s)
+    cluster_maps = paint_clusters(superpixels, assign)
+    return cluster_maps == 0, cluster_maps, assign
 
 
 @partial(jax.jit, static_argnames=("n_anchors", "num_segments",
@@ -79,26 +106,38 @@ def spalign_cluster(feature_maps, superpixels, key, *, n_anchors: int,
       assignment (B,S) int32, kmeans diagnostics.
     """
     superpixels = superpixels.astype(jnp.int32)  # may arrive narrower
-    b, h, w = superpixels.shape
+    b = superpixels.shape[0]
     s = num_segments
-
-    k_align, k_seed = jax.random.split(key)
-    align_keys = jax.random.split(k_align, b)
-    feats, valid = jax.vmap(
-        lambda fm, sp, kk: superpixel_align(
-            fm, sp, kk, n_anchors, s, append_pos)
-    )(feature_maps, superpixels, align_keys)  # (B,S,C'), (B,S)
-
-    prior_pix = pixel_prior(h, w, *prior_params)  # (h,w) static
-    prior = jax.vmap(
-        lambda sp: segment_mean(prior_pix.reshape(-1), sp.reshape(-1), s)
-    )(superpixels)  # (B,S)
-
+    feats, valid, prior, k_seed = _align_and_prior(
+        feature_maps, superpixels, key, n_anchors, s, append_pos,
+        prior_params)
     res = weighted_kmeans(feats.reshape(b * s, -1), prior.reshape(-1),
                           valid.reshape(-1), k_seed, k=k, n_iter=n_iter)
-    assign = res.assignment.reshape(b, s)
-    cluster_maps = paint_clusters(superpixels, assign)
-    road_masks = cluster_maps == 0
+    road_masks, cluster_maps, assign = _paint(superpixels, res, b, s)
+    return road_masks, cluster_maps, assign, res
+
+
+@partial(jax.jit, static_argnames=("n_anchors", "num_segments",
+                                   "append_pos", "k_max", "n_iter",
+                                   "prior_params"))
+def spalign_cluster_dynamic(feature_maps, superpixels, key, k, *,
+                            n_anchors: int, num_segments: int,
+                            append_pos: bool, k_max: int, n_iter: int,
+                            prior_params):
+    """``spalign_cluster`` with a RUNTIME cluster count ``k`` (traced
+    scalar <= k_max): one compiled program serves a whole k-ablation
+    sweep (reference utils/dmux/run_exp_fig-7.sh re-ran the pipeline per
+    k; here only the first value compiles)."""
+    superpixels = superpixels.astype(jnp.int32)
+    b = superpixels.shape[0]
+    s = num_segments
+    feats, valid, prior, k_seed = _align_and_prior(
+        feature_maps, superpixels, key, n_anchors, s, append_pos,
+        prior_params)
+    res = weighted_kmeans_dynamic(
+        feats.reshape(b * s, -1), prior.reshape(-1), valid.reshape(-1),
+        k_seed, k, k_max=k_max, n_iter=n_iter)
+    road_masks, cluster_maps, assign = _paint(superpixels, res, b, s)
     return road_masks, cluster_maps, assign, res
 
 
@@ -164,15 +203,24 @@ class LabelGeneratorBase:
 
     def __init__(self, cfg: LabelGenConfig, variables=None,
                  model_name: str = "drn_c_26", seed: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, dynamic_k: Optional[int] = None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the
         clustering batch shards over it (images, superpixels, aligned
         features); the joint k-means' reductions become cross-chip
         collectives under jit.  Replaces the reference's index-range GPU
         fan-out scripts (utils/create_val_labels.sh) with one sharded
-        program."""
+        program.
+
+        dynamic_k: compile the k-means for up to ``dynamic_k`` clusters
+        with the actual count a RUNTIME value — ``set_n_clusters`` then
+        switches k without recompiling (the fig-7 sweep lever)."""
         self.cfg = cfg
         self.mesh = mesh
+        self.dynamic_k = dynamic_k
+        if dynamic_k is not None and cfg.kmeans.n_clusters > dynamic_k:
+            raise ValueError(
+                f"n_clusters={cfg.kmeans.n_clusters} > dynamic_k bound "
+                f"{dynamic_k}")
         # model_dtype='bfloat16' runs the conv stack on the MXU in bf16
         # (params stay f32; k-means always accumulates in f32)
         dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model_dtype]
@@ -212,6 +260,49 @@ class LabelGeneratorBase:
 
     def _next_seed(self) -> np.uint32:
         return np.uint32(self._seed_rng.randint(0, 2 ** 31))
+
+    # --- sweep support: swap config values without rebuilding programs ---
+
+    def _program_fields(self, cfg):
+        """The config fields BAKED INTO the compiled programs; a
+        reconfigure that changes none of them keeps every compiled
+        program (host-side fields — superpixel engine parameters,
+        batchsize, output paths, overlap_threshold — are free to vary)."""
+        return (cfg.mode, cfg.use_feature_maps, cfg.align,
+                cfg.kmeans.n_iter, cfg.kmeans.init, cfg.prior,
+                cfg.superpixel.max_superpixels, cfg.model_dtype,
+                None if self.dynamic_k else cfg.kmeans.n_clusters)
+
+    def reconfigure(self, cfg: LabelGenConfig):
+        """Adopt a new config, invalidating compiled programs only when a
+        program-baked field changed.  Replaces the reference's one-
+        process-per-configuration sweep scripts (utils/dmux/*): with
+        minutes-long tunnel compiles, sharing the compiled program across
+        a sweep is the difference between minutes and hours."""
+        if self._program_fields(cfg) != self._program_fields(self.cfg):
+            self._fused = None
+            self._parity = None
+        self.cfg = cfg
+        p = cfg.prior
+        self._prior_params = (p.y_rel_pos, p.x_rel_pos, p.y_rel_sigma,
+                              p.x_rel_sigma)
+
+    def set_n_clusters(self, k: int):
+        """Change the k-means cluster count.  Free (no recompile) when
+        the generator was built with ``dynamic_k``."""
+        import dataclasses
+
+        self.reconfigure(dataclasses.replace(
+            self.cfg,
+            kmeans=dataclasses.replace(self.cfg.kmeans, n_clusters=k)))
+
+    def n_program_traces(self) -> int:
+        """Number of times the fused program has been traced/compiled
+        (sweep logging; -1 when unavailable)."""
+        try:
+            return int(self._fused._cache_size()) if self._fused else 0
+        except Exception:
+            return -1
 
     def _host_prepare(self, images_uint8, full_images, timers) -> dict:
         """Host+transfer work for one batch (image upload, superpixels,
@@ -475,18 +566,26 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         s = cfg.superpixel.max_superpixels
 
         @jax.jit
-        def program(imgs, sps, seed):
+        def program(imgs, sps, seed, k):
             # the key is derived ON DEVICE from a host integer seed — a
             # plain scalar rides the dispatch, where a device-side
             # jax.random.split would cost a round trip per batch
             key = jax.random.key(seed)
             fmaps = feature_fn(imgs)
-            road, cluster, assign, res = spalign_cluster(
-                fmaps, sps, key,
-                n_anchors=cfg.align.n_anchors, num_segments=s,
-                append_pos=cfg.align.append_pos,
-                k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
-                prior_params=self._prior_params)
+            if self.dynamic_k is None:
+                road, cluster, assign, res = spalign_cluster(
+                    fmaps, sps, key,
+                    n_anchors=cfg.align.n_anchors, num_segments=s,
+                    append_pos=cfg.align.append_pos,
+                    k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
+                    prior_params=self._prior_params)
+            else:
+                road, cluster, assign, res = spalign_cluster_dynamic(
+                    fmaps, sps, key, k,
+                    n_anchors=cfg.align.n_anchors, num_segments=s,
+                    append_pos=cfg.align.append_pos, k_max=self.dynamic_k,
+                    n_iter=cfg.kmeans.n_iter,
+                    prior_params=self._prior_params)
             all_have_road = jnp.all(jnp.any(road, axis=(1, 2)))
             return road, cluster, assign, res, all_have_road
 
@@ -497,7 +596,8 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         if self.cfg.kmeans.init == "reference":
             return self._dispatch_parity(prepared, timers)
         road, cluster, assign, res, ok = self._fused_program()(
-            prepared["imgs_dev"], prepared["sps_dev"], self._next_seed())
+            prepared["imgs_dev"], prepared["sps_dev"], self._next_seed(),
+            np.int32(self.cfg.kmeans.n_clusters))
         return {"road": road, "cluster": cluster, "assign": assign,
                 "res": res, "ok": ok}
 

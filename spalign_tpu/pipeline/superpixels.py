@@ -49,7 +49,7 @@ def _slic_batch(images_hwc, cfg: SuperpixelConfig, device_images=None,
 
     Measured on this TPU v5e setup: the union-find post-pass costs ~1 ms
     per image in C++ but ~25 ms in a gather-based device formulation
-    (kernels/ccl.py — kept for reference), so the host op wins; the
+    (kernels/experimental/ccl.py), so the host op wins; the
     pipeline hides this host work behind device compute of the next
     batch (LabelGeneratorBase prefetching)."""
     src = device_images if device_images is not None \

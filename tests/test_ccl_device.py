@@ -1,10 +1,10 @@
-"""Device CCL (kernels/ccl.py) vs the native C++ reference op."""
+"""Device CCL (kernels/experimental/ccl.py) vs the native C++ reference op."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from spalign_tpu import native
-from spalign_tpu.kernels.ccl import enforce_connectivity_device
+from spalign_tpu.kernels.experimental.ccl import enforce_connectivity_device
 
 
 def partition_equal(a, b):

@@ -73,6 +73,42 @@ class TestSweepHelpers:
         c3 = set_nested(cfg, "batchsize", 5)
         assert c3.batchsize == 5
 
+    def test_k_sweep_compiles_once(self, tmp_path):
+        """The fig-7 grid (k sweep) must run as ONE compiled program:
+        dynamic_k makes the cluster count a runtime value (the reference
+        re-ran the whole pipeline per k, utils/dmux/run_exp_fig-7.sh)."""
+        from spalign_tpu.cli.sweep import main
+
+        csv = str(tmp_path / "sweep.csv")
+        main(["--grid", "custom", "--param", "kmeans.n_clusters",
+              "--values", "2", "3", "4", "--sweep_out", csv,
+              "--synthetic", "4", "--synthetic_shape", "128", "256",
+              "--superpixel_method", "slic", "--n_slic_segments", "40",
+              "--max_superpixels", "128", "--resize_shape", "112", "112",
+              "--batchsize", "4", "--out_dir", str(tmp_path / "labels")])
+        lines = open(csv).read().strip().splitlines()
+        assert lines[0].endswith("program_traces")
+        traces = [int(l.rsplit(",", 1)[1]) for l in lines[1:]]
+        assert len(traces) == 3
+        assert traces[-1] == 1  # one trace across all three k values
+
+    def test_host_param_sweep_shares_program(self, tmp_path):
+        """Sweeping a host-only parameter (felzenszwalb scale, fig-9)
+        must not recompile the fused device program."""
+        from spalign_tpu.cli.sweep import main
+
+        csv = str(tmp_path / "sweep9.csv")
+        main(["--grid", "custom", "--param",
+              "superpixel.felzenszwalb_scale", "--values", "100", "300",
+              "--sweep_out", csv,
+              "--synthetic", "2", "--synthetic_shape", "128", "256",
+              "--superpixel_method", "felzenszwalb",
+              "--max_superpixels", "512", "--resize_shape", "112", "112",
+              "--batchsize", "2", "--out_dir", str(tmp_path / "labels")])
+        lines = open(csv).read().strip().splitlines()
+        traces = [int(l.rsplit(",", 1)[1]) for l in lines[1:]]
+        assert traces[-1] == 1
+
 
 class TestTablesCLI:
     def test_make_table(self, tmp_path, capsys):

@@ -6,6 +6,7 @@ import numpy as np
 
 from spalign_tpu.ops import (kmeans_seed_assignment, paint_clusters,
                              weighted_kmeans, weighted_kmeans_from_init)
+from spalign_tpu.ops.kmeans import weighted_kmeans_dynamic
 
 import reference_oracles as oracle
 
@@ -149,6 +150,65 @@ class TestSeeding:
         for b in range(1, 4):
             vals, cnt = np.unique(a[true_labels == b], return_counts=True)
             assert cnt.max() / cnt.sum() > 0.9
+
+
+class TestDynamicK:
+    """The runtime-k variant must agree with the static-k program for
+    every k (the fig-7 sweep runs one compiled program over all k)."""
+
+    def test_matches_static_for_each_k(self, rng):
+        X, true_labels = make_blobs(rng, k=5, n_per=40)
+        n = len(X)
+        weights = np.where(true_labels == 0,
+                           rng.uniform(0.7, 1.0, n),
+                           rng.uniform(0.0, 0.3, n)).astype(np.float32)
+        valid = jnp.ones((n,), bool)
+        k_max = 8
+        for k in (2, 3, 4, 8):
+            key = jax.random.key(100 + k)
+            want = weighted_kmeans(jnp.asarray(X), jnp.asarray(weights),
+                                   valid, key, k=k)
+            got = weighted_kmeans_dynamic(
+                jnp.asarray(X), jnp.asarray(weights), valid, key,
+                np.int32(k), k_max=k_max)
+            np.testing.assert_array_equal(np.asarray(got.assignment),
+                                          np.asarray(want.assignment))
+            assert int(got.n_iter) == int(want.n_iter)
+            assert bool(got.converged) == bool(want.converged)
+            assert bool(got.empty_stop) == bool(want.empty_stop)
+            np.testing.assert_allclose(np.asarray(got.centers)[:k],
+                                       np.asarray(want.centers),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_one_trace_across_k(self, rng):
+        """Changing k must NOT retrace the dynamic program."""
+        X, _ = make_blobs(rng, k=3, n_per=30)
+        n = len(X)
+        weights = rng.uniform(0, 1, n).astype(np.float32)
+        valid = jnp.ones((n,), bool)
+        before = weighted_kmeans_dynamic._cache_size()
+        for k in (2, 3, 4, 5):
+            weighted_kmeans_dynamic(
+                jnp.asarray(X), jnp.asarray(weights), valid,
+                jax.random.key(k), np.int32(k), k_max=8)
+        assert weighted_kmeans_dynamic._cache_size() == before + 1
+
+    def test_padding_rows_and_clusters(self, rng):
+        """Invalid rows AND unused cluster slots together."""
+        X, true_labels = make_blobs(rng, k=3, n_per=40)
+        n = len(X)
+        weights = np.where(true_labels == 0, 0.9, 0.1).astype(np.float32)
+        pad = 23
+        Xp = np.concatenate(
+            [X, 1e6 * np.ones((pad, X.shape[1]), np.float32)])
+        wp = np.concatenate([weights, np.zeros(pad, np.float32)])
+        vp = jnp.asarray(np.arange(n + pad) < n)
+        key = jax.random.key(11)
+        res = weighted_kmeans_dynamic(jnp.asarray(Xp), jnp.asarray(wp),
+                                      vp, key, np.int32(3), k_max=8)
+        a = np.asarray(res.assignment)
+        assert (a[n:] == -1).all()
+        assert set(a[:n].tolist()) <= {0, 1, 2}
 
 
 class TestPaint:

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from spalign_tpu.kernels.slic import rgb_to_lab, _init_centers
-from spalign_tpu.kernels.slic_pallas import (pack_centers, pack_pixels,
+from spalign_tpu.kernels.experimental.slic_pallas import (pack_centers, pack_pixels,
                                              slic_assign_pallas, TILE)
 
 
