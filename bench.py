@@ -53,8 +53,19 @@ def _label_gen_cfg(mode: str):
     from spalign_tpu.config import LabelGenConfig, SuperpixelConfig
 
     if mode == "slic":
+        # the TPU-native flagship: SLIC fused INTO the device program
+        # (slic_enforce_connectivity=False) — one dispatch per batch,
+        # the only host work is the uint8 upload
         sp = SuperpixelConfig(method="slic", n_slic_segments=100,
-                              slic_iters=10, max_superpixels=256)
+                              slic_iters=10, max_superpixels=256,
+                              slic_enforce_connectivity=False)
+        return LabelGenConfig(batchsize=BATCH, superpixel=sp,
+                              save_masks=False)
+    if mode == "slic_cc":
+        # skimage-parity SLIC: host union-find connectivity pass
+        sp = SuperpixelConfig(method="slic", n_slic_segments=100,
+                              slic_iters=10, max_superpixels=256,
+                              slic_enforce_connectivity=True)
         return LabelGenConfig(batchsize=BATCH, superpixel=sp,
                               save_masks=False)
     if mode == "felzenszwalb":
@@ -85,13 +96,14 @@ class _InMemory:
     property of the storage format, not the pipeline; the real loader
     prefetches it behind device compute anyway)."""
 
-    def __init__(self, frames, fulls=None):
+    def __init__(self, frames, fulls=None, n_batches=N_BATCHES_TIMED):
         self.frames = frames
         self.fulls = fulls
         self.n_src = len(frames)
+        self.n_batches = n_batches
 
     def __len__(self):
-        return N_BATCHES_TIMED * BATCH
+        return self.n_batches * BATCH
 
     def image_name(self, i):
         return f"bench_{i:06d}.png"
@@ -110,6 +122,10 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     from spalign_tpu.pipeline.direct import make_label_generator
 
     cfg = _label_gen_cfg(mode)
+    # overlaps is host-bound on FULL-RES felzenszwalb (~1 s/img on this
+    # 1-core box): fewer batches/reps keep the bench affordable
+    n_batches, reps = (2, 1) if mode == "overlaps" else (N_BATCHES_TIMED,
+                                                         3)
     ds = SyntheticRoadScenes(n=BATCH * 2, full_shape=FULL_SHAPE, seed=7)
     gen = make_label_generator(cfg)
 
@@ -118,7 +134,8 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     fulls = None
     if gen.needs_full_images:
         fulls = np.stack([ds[i][0] for i in range(2 * BATCH)])
-    mem = _InMemory(np.concatenate([imgs_a, imgs_b]), fulls)
+    mem = _InMemory(np.concatenate([imgs_a, imgs_b]), fulls,
+                    n_batches=n_batches)
 
     # Warmup: compile every program involved.
     for b, off in ((imgs_a, 0), (imgs_b, BATCH)):
@@ -129,14 +146,14 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     # The remote-attached TPU tunnel adds noisy latency; take the best of
     # three repetitions as the steady-state number.
     best_dt, best_records = float("inf"), None
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.time()
         records = gen.process_dataset(mem, save=False)
         dt = time.time() - t0
-        assert len(records) == N_BATCHES_TIMED * BATCH
+        assert len(records) == n_batches * BATCH
         if dt < best_dt:
             best_dt, best_records = dt, records
-    imgs_per_sec = BATCH * N_BATCHES_TIMED / best_dt
+    imgs_per_sec = BATCH * n_batches / best_dt
 
     if breakdown:
         _print_breakdown(mode, gen, best_records, imgs_per_sec)
@@ -169,30 +186,32 @@ def _print_breakdown(mode, gen, records, imgs_per_sec):
     # Device-only time of the fused program (execution, not dispatch):
     # vary the seed so the runtime's memoization cannot shortcut it.
     try:
+        from spalign_tpu.pipeline.label_gen import _fused_superpixels
+
         prog = gen._fused_program()
         cfgb = gen.cfg
         imgs = np.random.RandomState(0).randint(
             0, 255, (cfgb.batchsize, *cfgb.resize_shape, 3), np.uint8)
+        needs_sps = (cfgb.mode == "spalign"
+                     and not _fused_superpixels(cfgb))
         sps = None
-        if cfgb.mode == "spalign":
+        if needs_sps:
             from spalign_tpu.pipeline.superpixels import \
                 compute_superpixels
             sps, _ = compute_superpixels(imgs, cfgb.superpixel)
+
+        def call(seed):
+            a = (imgs, sps, seed) if needs_sps else (imgs, seed)
+            return a + (np.int32(cfgb.kmeans.n_clusters),)
+
         ts = []
         for s in range(3):
             t0 = time.time()
-            if cfgb.mode == "spalign":
-                out = prog(imgs, sps, np.uint32(1234 + s),
-                           np.int32(cfgb.kmeans.n_clusters))
-            else:
-                out = prog(imgs, np.uint32(1234 + s),
-                           np.int32(cfgb.kmeans.n_clusters))
+            out = prog(*call(np.uint32(1234 + s)))
             jax.block_until_ready(out)
             ts.append(time.time() - t0)
         dev_t = min(ts)
-        lowered = (prog.lower(imgs, sps, np.uint32(1), np.int32(4))
-                   if cfgb.mode == "spalign"
-                   else prog.lower(imgs, np.uint32(1), np.int32(4)))
+        lowered = prog.lower(*call(np.uint32(1)))
         flops = lowered.compile().cost_analysis().get("flops", 0.0)
         peak = 197e12  # v5e bf16 peak; f32 ~ half
         print(f"    device program    {dev_t:8.4f}  "
@@ -261,13 +280,13 @@ def bench_train(breakdown: bool = False) -> dict:
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="slic",
-                   choices=["slic", "felzenszwalb", "overlaps", "train",
-                            "all"])
+                   choices=["slic", "slic_cc", "felzenszwalb", "overlaps",
+                            "train", "all"])
     p.add_argument("--breakdown", action="store_true",
                    help="print per-stage means + MFU estimate to stderr")
     args = p.parse_args()
 
-    modes = (["slic", "felzenszwalb", "overlaps", "train"]
+    modes = (["slic", "slic_cc", "felzenszwalb", "overlaps", "train"]
              if args.mode == "all" else [args.mode])
     for m in modes:
         row = (bench_train(args.breakdown) if m == "train"

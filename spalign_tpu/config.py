@@ -52,6 +52,12 @@ class SuperpixelConfig:
     n_slic_segments: int = 100
     slic_compactness: float = 10.0
     slic_iters: int = 10
+    # skimage-parity connectivity enforcement (host union-find splitting
+    # non-contiguous SLIC labels).  False = TPU-native fast path: SLIC
+    # runs INSIDE the fused device program (superpixel count fixed at
+    # the grid size, disconnected regions may share a label) — one
+    # dispatch per batch, no host superpixel work at all.
+    slic_enforce_connectivity: bool = True
     # padding bound for the per-image superpixel count on device
     max_superpixels: int = 1024
 

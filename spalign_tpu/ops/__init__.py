@@ -6,6 +6,7 @@ from spalign_tpu.ops.segments import (segment_mean, segment_sizes,
                                       center_of_mass, sample_segment_anchors)
 from spalign_tpu.ops.align import superpixel_align, bilinear_sample
 from spalign_tpu.ops.kmeans import (weighted_kmeans,
+                                    weighted_kmeans_dynamic,
                                     weighted_kmeans_from_init,
                                     kmeans_seed_assignment, paint_clusters)
 from spalign_tpu.ops.lrn import local_response_normalization

@@ -268,9 +268,13 @@ class LabelGeneratorBase:
         reconfigure that changes none of them keeps every compiled
         program (host-side fields — superpixel engine parameters,
         batchsize, output paths, overlap_threshold — are free to vary)."""
+        sp = cfg.superpixel
+        sp_baked = ((sp.method, sp.n_slic_segments, sp.slic_compactness,
+                     sp.slic_iters)
+                    if _fused_superpixels(cfg) else (sp.max_superpixels,))
         return (cfg.mode, cfg.use_feature_maps, cfg.align,
                 cfg.kmeans.n_iter, cfg.kmeans.init, cfg.prior,
-                cfg.superpixel.max_superpixels, cfg.model_dtype,
+                sp_baked, cfg.model_dtype,
                 None if self.dynamic_k else cfg.kmeans.n_clusters)
 
     def reconfigure(self, cfg: LabelGenConfig):
@@ -521,6 +525,17 @@ class LabelGeneratorBase:
         return records
 
 
+def _fused_superpixels(cfg: LabelGenConfig) -> bool:
+    """True when SLIC runs INSIDE the fused program (TPU-native fast
+    path): one dispatch per batch, zero host superpixel work.  Requires
+    slic_enforce_connectivity=False (the host union-find is the only
+    host stage of the SLIC frontend) and the fully fused device init
+    (parity mode needs host superpixel maps for its float64 prior)."""
+    return (cfg.superpixel.method == "slic"
+            and not cfg.superpixel.slic_enforce_connectivity
+            and cfg.kmeans.init == "device")
+
+
 class SpalignLabelGenerator(LabelGeneratorBase):
     """End-to-end label generation over a dataset (reference
     batch_spalign_kmeans.py main loop :533-548 + estimate_road_mask).
@@ -536,6 +551,16 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         device SLIC engine share it), compute superpixels, and upload
         the maps — all off the critical path when prefetched."""
         cfg = self.cfg
+        if _fused_superpixels(cfg):
+            # superpixels are computed inside the fused program; the
+            # count is the static SLIC grid size
+            from spalign_tpu.kernels.slic import slic_grid_size
+
+            k_grid = slic_grid_size(*cfg.resize_shape,
+                                    cfg.superpixel.n_slic_segments)
+            return {"imgs_dev": self._put(images_uint8),
+                    "counts": np.full(len(images_uint8), k_grid,
+                                      np.int32)}
         imgs_dev = self._put(images_uint8)
         with timers.stage("superpixel"):
             sps, counts = compute_superpixels(images_uint8, cfg.superpixel,
@@ -563,6 +588,46 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         cfg = self.cfg
         feature_fn = build_feature_fn(self.model, self.variables,
                                       cfg.use_feature_maps)
+        if _fused_superpixels(cfg):
+            from spalign_tpu.kernels.slic import slic, slic_grid_size
+
+            spcfg = cfg.superpixel
+            s_grid = slic_grid_size(*cfg.resize_shape,
+                                    spcfg.n_slic_segments)
+
+            @jax.jit
+            def fused_all(imgs, seed, k):
+                # images -> SLIC -> DRN -> align -> prior -> k-means ->
+                # masks, ONE device program: the only upload is the
+                # uint8 batch, the only downloads are masks + scalars
+                key = jax.random.key(seed)
+                sps = jax.vmap(lambda im: slic(
+                    im, n_segments=spcfg.n_slic_segments,
+                    compactness=spcfg.slic_compactness,
+                    n_iter=spcfg.slic_iters))(imgs)
+                fmaps = feature_fn(imgs)
+                if self.dynamic_k is None:
+                    road, cluster, assign, res = spalign_cluster(
+                        fmaps, sps, key,
+                        n_anchors=cfg.align.n_anchors,
+                        num_segments=s_grid,
+                        append_pos=cfg.align.append_pos,
+                        k=cfg.kmeans.n_clusters,
+                        n_iter=cfg.kmeans.n_iter,
+                        prior_params=self._prior_params)
+                else:
+                    road, cluster, assign, res = spalign_cluster_dynamic(
+                        fmaps, sps, key, k,
+                        n_anchors=cfg.align.n_anchors,
+                        num_segments=s_grid,
+                        append_pos=cfg.align.append_pos,
+                        k_max=self.dynamic_k, n_iter=cfg.kmeans.n_iter,
+                        prior_params=self._prior_params)
+                all_have_road = jnp.all(jnp.any(road, axis=(1, 2)))
+                return road, cluster, assign, res, all_have_road
+
+            self._fused = fused_all
+            return fused_all
         s = cfg.superpixel.max_superpixels
 
         @jax.jit
@@ -595,9 +660,14 @@ class SpalignLabelGenerator(LabelGeneratorBase):
     def dispatch_batch(self, prepared, timers) -> dict:
         if self.cfg.kmeans.init == "reference":
             return self._dispatch_parity(prepared, timers)
-        road, cluster, assign, res, ok = self._fused_program()(
-            prepared["imgs_dev"], prepared["sps_dev"], self._next_seed(),
-            np.int32(self.cfg.kmeans.n_clusters))
+        if "sps_dev" not in prepared:  # fused-superpixel fast path
+            road, cluster, assign, res, ok = self._fused_program()(
+                prepared["imgs_dev"], self._next_seed(),
+                np.int32(self.cfg.kmeans.n_clusters))
+        else:
+            road, cluster, assign, res, ok = self._fused_program()(
+                prepared["imgs_dev"], prepared["sps_dev"],
+                self._next_seed(), np.int32(self.cfg.kmeans.n_clusters))
         return {"road": road, "cluster": cluster, "assign": assign,
                 "res": res, "ok": ok}
 

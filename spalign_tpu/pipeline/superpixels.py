@@ -60,6 +60,9 @@ def _slic_batch(images_hwc, cfg: SuperpixelConfig, device_images=None,
                                  compactness=cfg.slic_compactness,
                                  n_iter=cfg.slic_iters))
     labels = np.asarray(jax.device_get(f(src)))
+    if not cfg.slic_enforce_connectivity:
+        # TPU-native mode: grid labels are contiguous [0, K) already
+        return labels
     with ThreadPoolExecutor(max_workers=workers) as ex:
         out = list(ex.map(
             lambda l: native.enforce_connectivity(l, min_size=min_size),

@@ -229,3 +229,65 @@ class TestResume:
         records = gen.process_dataset(ds, save=False, skip_done=done)
         names = {r["img_fn"] for r in records}
         assert names == {ds.image_name(2), ds.image_name(3)}
+
+
+class TestFusedSuperpixels:
+    """slic_enforce_connectivity=False: SLIC runs INSIDE the fused
+    program (single dispatch per batch).  Must equal the two-step
+    composition (device SLIC without CC -> spalign_cluster) bit-level."""
+
+    def _cfg(self, **kw):
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False, **kw)
+        return LabelGenConfig(batchsize=3, resize_shape=(112, 112),
+                              superpixel=sp, save_masks=False)
+
+    def test_matches_two_step(self):
+        import jax
+
+        from spalign_tpu.kernels.slic import slic, slic_grid_size
+        from spalign_tpu.pipeline.label_gen import spalign_cluster
+
+        cfg = self._cfg()
+        ds = SyntheticRoadScenes(n=3, full_shape=(256, 512), seed=9)
+        imgs, _ = ds.resized_batch(range(3), cfg.resize_shape)
+        gen = SpalignLabelGenerator(cfg, seed=777)
+        seed = gen._next_seed()  # the seed run_batch would consume
+        prepared = gen._host_prepare(imgs, None, __import__(
+            "spalign_tpu.utils.timers", fromlist=["StageTimer"]
+        ).StageTimer())
+        assert "sps_dev" not in prepared  # no host superpixel work
+        road, cluster, assign, res, ok = gen._fused_program()(
+            prepared["imgs_dev"], seed, np.int32(4))
+
+        # manual two-step with the same seed
+        sps = jax.vmap(lambda im: slic(
+            im, n_segments=40, compactness=10.0, n_iter=4))(
+            gen._put(imgs))
+        fmaps = gen.features(gen._put(imgs).astype(np.float32))
+        s_grid = slic_grid_size(112, 112, 40)
+        road2, cluster2, assign2, _ = spalign_cluster(
+            fmaps, sps, jax.random.key(np.uint32(seed)),
+            n_anchors=cfg.align.n_anchors, num_segments=s_grid,
+            append_pos=True, k=4, n_iter=cfg.kmeans.n_iter,
+            prior_params=gen._prior_params)
+        np.testing.assert_array_equal(np.asarray(cluster),
+                                      np.asarray(cluster2))
+        assert int(prepared["counts"][0]) == s_grid
+
+    def test_pipeline_quality_holds(self):
+        """No-CC masks must score in the same band as the CC path on
+        the synthetic scenes (same weights, same seeds)."""
+        import dataclasses
+
+        ds = SyntheticRoadScenes(n=6, full_shape=(256, 512), seed=5)
+        ious = {}
+        for cc in (True, False):
+            cfg = self._cfg()
+            cfg = dataclasses.replace(cfg, superpixel=dataclasses.replace(
+                cfg.superpixel, slic_enforce_connectivity=cc))
+            gen = SpalignLabelGenerator(cfg)
+            recs = gen.process_dataset(ds, save=False)
+            ious[cc] = float(np.mean([r["road_iou"] for r in recs]))
+        assert abs(ious[True] - ious[False]) < 0.1
