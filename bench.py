@@ -137,11 +137,23 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     mem = _InMemory(np.concatenate([imgs_a, imgs_b]), fulls,
                     n_batches=n_batches)
 
+    # The unlabeled/no-save path never fetches the masks; the bench must
+    # (they are the pipeline's product, and on this runtime a host fetch
+    # is the only real fence — block_until_ready returns immediately).
+    orig_finish = gen.finish_batch
+
+    def finish_and_land(prepared, handles, timers):
+        road, cluster, diag = orig_finish(prepared, handles, timers)
+        np.asarray(road)
+        return road, cluster, diag
+
+    gen.finish_batch = finish_and_land
+
     # Warmup: compile every program involved.
     for b, off in ((imgs_a, 0), (imgs_b, BATCH)):
         full = fulls[off:off + BATCH] if fulls is not None else None
         road, _, _, _ = gen.run_batch(b, full_images=full)
-    jax.block_until_ready(road)
+    np.asarray(road)
 
     # The remote-attached TPU tunnel adds noisy latency; take the best of
     # three repetitions as the steady-state number.
@@ -208,8 +220,8 @@ def _print_breakdown(mode, gen, records, imgs_per_sec):
         for s in range(3):
             t0 = time.time()
             out = prog(*call(np.uint32(1234 + s)))
-            jax.block_until_ready(out)
-            ts.append(time.time() - t0)
+            np.asarray(out[0])  # real fence (block_until_ready is a
+            ts.append(time.time() - t0)  # no-op on this runtime)
         dev_t = min(ts)
         lowered = prog.lower(*call(np.uint32(1)))
         flops = lowered.compile().cost_analysis().get("flops", 0.0)
@@ -254,17 +266,25 @@ def bench_train(breakdown: bool = False) -> dict:
         labels = rng.randint(-1, 2, (cfg.batchsize, h, w)).astype(np.int32)
         return (shard_batch(mesh, imgs), shard_batch(mesh, labels))
 
-    state, _ = step_fn(state, *batch(0))  # compile
-    jax.block_until_ready(state.params)
+    state, m0 = step_fn(state, *batch(0))  # compile
+    float(jax.device_get(m0["loss"]))
 
+    # NOTE on synchronization: on this remote-attached runtime
+    # jax.block_until_ready returns immediately; a device_get of a
+    # scalar is the only reliable fence.  Uploads are landed before the
+    # timed region by fetching one element of each batch; the timed
+    # region ends by fetching the LAST step's loss, which transitively
+    # waits for the whole dependency chain of steps.
     n_steps = 10
     best = float("inf")
     for _ in range(3):
         bs = [batch(i) for i in range(n_steps)]  # fresh inputs (memoizer)
+        for imgs, labels in bs:
+            jax.device_get(imgs[0, 0, 0, 0])
         t0 = time.time()
         for imgs, labels in bs:
             state, metrics = step_fn(state, imgs, labels)
-        jax.block_until_ready(state.params)
+        float(jax.device_get(metrics["loss"]))
         best = min(best, (time.time() - t0) / n_steps)
 
     ms = best * 1000.0

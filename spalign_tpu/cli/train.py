@@ -54,6 +54,10 @@ def get_args(argv=None):
     p.add_argument("--n_use_data", type=int, default=None)
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 runs convs/BN on the MXU in half "
+                        "precision (f32 params and optimizer)")
     return p.parse_args(argv)
 
 
@@ -85,7 +89,7 @@ def config_from_args(args) -> TrainConfig:
         log_interval=args.log_interval, val_interval=args.val_interval,
         loss=loss, n_use_data=args.n_use_data, seed=args.seed,
         result_dir=result_dir, resume=args.resume,
-        num_devices=args.num_devices)
+        num_devices=args.num_devices, compute_dtype=args.compute_dtype)
 
 
 def main(argv=None):

@@ -40,10 +40,14 @@ class TrainState:
 
 
 def build_model(cfg: TrainConfig):
+    # compute_dtype='bfloat16' runs convs/BN in bf16 on the MXU with f32
+    # params (flax mixed precision); the loss/grad transforms stay f32
+    dtype = {"float32": None,
+             "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
     if cfg.model == "basic":
-        return SegNetBasic(n_class=cfg.n_class)
+        return SegNetBasic(n_class=cfg.n_class, dtype=dtype)
     if cfg.model == "normal":
-        return SegNet(n_class=cfg.n_class)
+        return SegNet(n_class=cfg.n_class, dtype=dtype)
     raise ValueError(f"unknown model {cfg.model!r}")
 
 

@@ -117,6 +117,21 @@ class TestTrainStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_bfloat16_compute_path(self, rng):
+        """compute_dtype='bfloat16' must train (finite, decreasing loss)
+        with f32 params — the MXU mixed-precision option."""
+        cfg = tiny_cfg(compute_dtype="bfloat16")
+        step = make_train_step(cfg)
+        state = create_train_state(cfg, sample_batch_shape=(32, 64))
+        assert state.params["conv1"]["kernel"].dtype == jnp.float32
+        imgs, labels = synthetic_batch(rng, 8, 32, 64)
+        losses = []
+        for _ in range(12):
+            state, m = step(state, jnp.asarray(imgs), jnp.asarray(labels))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.9, losses
+
     def test_mse_and_soft_paths_run(self, rng):
         for loss in ("soft", "mse"):
             cfg = tiny_cfg(loss=loss, train_iters=2)
