@@ -144,7 +144,9 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
 
     def finish_and_land(prepared, handles, timers):
         road, cluster, diag = orig_finish(prepared, handles, timers)
-        np.asarray(road)
+        # the masks are the product: land them (bit-packed when the
+        # program provides them, as the scoring/save paths consume)
+        np.asarray(handles.get("road_packed", road))
         return road, cluster, diag
 
     gen.finish_batch = finish_and_land
@@ -220,8 +222,10 @@ def _print_breakdown(mode, gen, records, imgs_per_sec):
         for s in range(3):
             t0 = time.time()
             out = prog(*call(np.uint32(1234 + s)))
-            np.asarray(out[0])  # real fence (block_until_ready is a
-            ts.append(time.time() - t0)  # no-op on this runtime)
+            # real fence (block_until_ready is a no-op on this runtime):
+            # land the packed masks when the program provides them
+            np.asarray(out[1] if len(out) == 6 else out[0])
+            ts.append(time.time() - t0)
         dev_t = min(ts)
         lowered = prog.lower(*call(np.uint32(1)))
         flops = lowered.compile().cost_analysis().get("flops", 0.0)

@@ -188,6 +188,28 @@ def host_confusion(road_mask: np.ndarray,
     return np.array([[c[2], c[3]], [c[4], c[5]]], np.int64)
 
 
+def pack_mask_bits(mask_bool: jnp.ndarray) -> jnp.ndarray:
+    """(..., W) bool -> (..., ceil(W/8)) uint8, np.unpackbits bit order.
+
+    Masks leave the chip 8x smaller: on remote-attached TPUs the
+    downlink runs ~25 MB/s, so a 30-image bool batch costs ~60 ms —
+    packed it is ~8 ms.  Host side: ``unpack_mask_bits``."""
+    w = mask_bool.shape[-1]
+    pad = (-w) % 8
+    if pad:
+        mask_bool = jnp.pad(
+            mask_bool, [(0, 0)] * (mask_bool.ndim - 1) + [(0, pad)])
+    m = mask_bool.reshape(*mask_bool.shape[:-1], -1, 8).astype(jnp.int32)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(m * weights, axis=-1).astype(jnp.uint8)
+
+
+def unpack_mask_bits(packed: np.ndarray, w: int) -> np.ndarray:
+    """Host inverse of :func:`pack_mask_bits` -> (..., w) bool."""
+    bits = np.unpackbits(packed, axis=-1)
+    return bits[..., :w].astype(bool)
+
+
 @partial(jax.jit, static_argnames=("full_hw",))
 def upsample_masks(road_masks, cluster_maps, full_hw):
     return (nn_resize_cv2(road_masks.astype(jnp.uint8), full_hw),
@@ -467,8 +489,15 @@ class LabelGeneratorBase:
             # the scarce up-link (see host_confusion)
             with timers.stage("score"):
                 # serial on purpose: the LUT+bincount kernel is
-                # GIL-bound, measured slower under a thread pool
-                road_np = np.asarray(road)
+                # GIL-bound, measured slower under a thread pool.
+                # masks come down BIT-PACKED when the program provides
+                # them (8x less downlink; see pack_mask_bits)
+                if "road_packed" in handles:
+                    road_np = unpack_mask_bits(
+                        np.asarray(handles["road_packed"]),
+                        road.shape[-1])
+                else:
+                    road_np = np.asarray(road)
                 confs = [host_confusion(r, l)
                          for r, l in zip(road_np, labels)]
         else:
@@ -624,7 +653,8 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                         k_max=self.dynamic_k, n_iter=cfg.kmeans.n_iter,
                         prior_params=self._prior_params)
                 all_have_road = jnp.all(jnp.any(road, axis=(1, 2)))
-                return road, cluster, assign, res, all_have_road
+                return (road, pack_mask_bits(road), cluster, assign, res,
+                        all_have_road)
 
             self._fused = fused_all
             return fused_all
@@ -652,7 +682,8 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                     n_iter=cfg.kmeans.n_iter,
                     prior_params=self._prior_params)
             all_have_road = jnp.all(jnp.any(road, axis=(1, 2)))
-            return road, cluster, assign, res, all_have_road
+            return (road, pack_mask_bits(road), cluster, assign, res,
+                    all_have_road)
 
         self._fused = program
         return program
@@ -661,15 +692,15 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         if self.cfg.kmeans.init == "reference":
             return self._dispatch_parity(prepared, timers)
         if "sps_dev" not in prepared:  # fused-superpixel fast path
-            road, cluster, assign, res, ok = self._fused_program()(
+            road, packed, cluster, assign, res, ok = self._fused_program()(
                 prepared["imgs_dev"], self._next_seed(),
                 np.int32(self.cfg.kmeans.n_clusters))
         else:
-            road, cluster, assign, res, ok = self._fused_program()(
+            road, packed, cluster, assign, res, ok = self._fused_program()(
                 prepared["imgs_dev"], prepared["sps_dev"],
                 self._next_seed(), np.int32(self.cfg.kmeans.n_clusters))
-        return {"road": road, "cluster": cluster, "assign": assign,
-                "res": res, "ok": ok}
+        return {"road": road, "road_packed": packed, "cluster": cluster,
+                "assign": assign, "res": res, "ok": ok}
 
     def _parity_programs(self):
         """Bit-parity mode splits the fused program in two around the
@@ -765,7 +796,9 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                 if bool(ok_np) or attempt + 1 >= max(
                         1, cfg.kmeans.max_retries):
                     break
-                handles = self.dispatch_batch(prepared, timers)
+                # update IN PLACE: the caller holds this dict and reads
+                # e.g. road_packed from it after we return
+                handles.update(self.dispatch_batch(prepared, timers))
         diag = {
             "kmeans_iters": int(n_it),
             "kmeans_converged": bool(conv),

@@ -258,7 +258,7 @@ class TestFusedSuperpixels:
             "spalign_tpu.utils.timers", fromlist=["StageTimer"]
         ).StageTimer())
         assert "sps_dev" not in prepared  # no host superpixel work
-        road, cluster, assign, res, ok = gen._fused_program()(
+        road, _packed, cluster, assign, res, ok = gen._fused_program()(
             prepared["imgs_dev"], seed, np.int32(4))
 
         # manual two-step with the same seed
@@ -291,3 +291,40 @@ class TestFusedSuperpixels:
             recs = gen.process_dataset(ds, save=False)
             ious[cc] = float(np.mean([r["road_iou"] for r in recs]))
         assert abs(ious[True] - ious[False]) < 0.1
+
+
+class TestPackedMasks:
+    def test_pack_unpack_roundtrip(self):
+        import jax.numpy as jnp
+
+        from spalign_tpu.pipeline.label_gen import (pack_mask_bits,
+                                                    unpack_mask_bits)
+
+        rng = np.random.RandomState(3)
+        for w in (8, 28, 224, 13):  # incl. non-multiple-of-8
+            m = rng.rand(2, 5, w) > 0.5
+            packed = np.asarray(pack_mask_bits(jnp.asarray(m)))
+            assert packed.dtype == np.uint8
+            assert packed.shape == (2, 5, -(-w // 8))
+            np.testing.assert_array_equal(unpack_mask_bits(packed, w), m)
+
+    def test_program_packed_equals_road(self):
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False)
+        cfg = LabelGenConfig(batchsize=2, resize_shape=(112, 112),
+                             superpixel=sp, save_masks=False)
+        ds = SyntheticRoadScenes(n=2, full_shape=(256, 512), seed=2)
+        imgs, _ = ds.resized_batch(range(2), cfg.resize_shape)
+        gen = SpalignLabelGenerator(cfg)
+        from spalign_tpu.utils.timers import StageTimer
+
+        t = StageTimer()
+        prepared = gen._host_prepare(imgs, None, t)
+        handles = gen.dispatch_batch(prepared, t)
+        from spalign_tpu.pipeline.label_gen import unpack_mask_bits
+
+        road = np.asarray(handles["road"])
+        packed = unpack_mask_bits(np.asarray(handles["road_packed"]),
+                                  road.shape[-1])
+        np.testing.assert_array_equal(road, packed)
