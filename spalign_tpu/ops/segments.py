@@ -13,8 +13,25 @@ import jax
 import jax.numpy as jnp
 
 
+# Above this bound the (N, S) one-hot would not fit comfortably; below
+# it the MXU contraction beats TPU's serialized scatter-add by ~10x
+# (measured: the sizes+centroid+prior scatters cost ~35 ms per 30-image
+# 224^2 batch; the matmul forms run in a few ms and fuse with their
+# consumers).
+_ONEHOT_MAX_SEGMENTS = 512
+
+
+def _onehot_f32(segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
+    return (segment_ids[:, None]
+            == jnp.arange(num_segments)[None, :]).astype(jnp.float32)
+
+
 def segment_sizes(segment_ids: jnp.ndarray, num_segments: int) -> jnp.ndarray:
     """(S,) int32 count of elements per segment id."""
+    if num_segments <= _ONEHOT_MAX_SEGMENTS:
+        # exact: f32 integer sums are exact below 2^24 elements
+        return jnp.sum(_onehot_f32(segment_ids, num_segments),
+                       axis=0).astype(jnp.int32)
     return jnp.zeros((num_segments,), jnp.int32).at[segment_ids].add(1)
 
 
@@ -24,6 +41,14 @@ def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray,
 
     Absent segments get 0 (not NaN) so padded superpixel slots stay finite.
     """
+    if num_segments <= _ONEHOT_MAX_SEGMENTS:
+        oh = _onehot_f32(segment_ids, num_segments)  # (N, S)
+        d2 = data[:, None] if data.ndim == 1 else data
+        sums = jnp.einsum("ns,nd->sd", oh, d2.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        counts = jnp.sum(oh, axis=0)[:, None]
+        out = (sums / jnp.maximum(counts, 1.0)).astype(data.dtype)
+        return out[:, 0] if data.ndim == 1 else out
     sums = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
     counts = segment_sizes(segment_ids, num_segments).astype(data.dtype)
     if data.ndim > 1:
@@ -75,13 +100,24 @@ def sample_segment_anchors(superpixels: jnp.ndarray, key: jax.Array,
     h, w = superpixels.shape
     n = h * w
     ids = superpixels.reshape(-1).astype(jnp.int32)
-    perm = jax.random.permutation(key, n).astype(jnp.int32)
-    # Composite sort key: segment id major, random permutation minor.
-    # ids < S and perm < n; S * n must fit in int32 — checked statically.
-    assert num_segments * n < 2 ** 31, "composite sort key overflows int32"
-    composite = ids * n + perm
-    order = jnp.argsort(composite)  # pixel indices grouped by segment,
-    # random order within each segment
+    # Composite sort key: segment id major, random bits minor — ONE
+    # lax.sort carrying the pixel index as payload (vs the previous
+    # permutation + argsort: two 50k-element sorts per image).  Random
+    # minor keys may collide (ties broken by pixel index); with >= 2^15
+    # random values per segment the bias is negligible.
+    bits_id = max(1, int(num_segments - 1).bit_length())
+    avail = 31 - bits_id
+    if avail >= 15:
+        r = jax.random.randint(key, (n,), 0, 2 ** avail, dtype=jnp.int32)
+        composite = ids * (2 ** avail) + r
+    else:  # huge S: exact permutation path (two sorts)
+        assert num_segments * n < 2 ** 31, \
+            "composite sort key overflows int32"
+        composite = ids * n + jax.random.permutation(key, n).astype(
+            jnp.int32)
+    _, order = jax.lax.sort(
+        (composite, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    # pixel indices grouped by segment, random order within each segment
 
     counts = segment_sizes(ids, num_segments)  # (S,)
     starts = jnp.cumsum(counts) - counts  # (S,) segment start offsets
