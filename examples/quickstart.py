@@ -16,6 +16,10 @@ import os
 import sys
 import tempfile
 
+# runnable straight from a clone: python examples/quickstart.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 virtual devices)")
