@@ -42,6 +42,12 @@ import time
 import numpy as np
 
 REFERENCE_IMAGES_PER_SEC = 1.2   # documented estimate, module docstring
+# The overlaps baseline runs scikit-image felzenszwalb at FULL
+# 1024x2048 resolution (superpixel_overlaps.py:322-323) — ~4 s/img on a
+# 2017-class CPU core (our own pre-optimization C++ measured 4.4 s/img,
+# and skimage's Cython is the same algorithm class) — plus the direct
+# clustering; ~0.25 img/s per process.
+REFERENCE_OVERLAPS_IMAGES_PER_SEC = 0.25
 REFERENCE_TRAIN_MS_PER_STEP = 350.0  # 8x 2017-class GPUs, global batch 8
 
 BATCH = 30
@@ -176,11 +182,12 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
 
     metric = ("label_gen_images_per_sec" if mode == "slic"
               else f"label_gen_{mode}_images_per_sec")
+    base = (REFERENCE_OVERLAPS_IMAGES_PER_SEC if mode == "overlaps"
+            else REFERENCE_IMAGES_PER_SEC)
     return {"metric": metric,
             "value": round(float(imgs_per_sec), 3),
             "unit": "img/s",
-            "vs_baseline": round(
-                float(imgs_per_sec / REFERENCE_IMAGES_PER_SEC), 2)}
+            "vs_baseline": round(float(imgs_per_sec / base), 2)}
 
 
 def _print_breakdown(mode, gen, records, imgs_per_sec):
