@@ -48,6 +48,10 @@ REFERENCE_IMAGES_PER_SEC = 1.2   # documented estimate, module docstring
 # and skimage's Cython is the same algorithm class) — plus the direct
 # clustering; ~0.25 img/s per process.
 REFERENCE_OVERLAPS_IMAGES_PER_SEC = 0.25
+# direct_clustering.py skips superpixels AND the dominant align loop:
+# DRN forward (~0.6 s/30 imgs) + a 1000-iteration Python Lloyd loop of
+# CuPy broadcasts over (B*784, k, D) (~5-10 s/batch) ~= 3 img/s.
+REFERENCE_DIRECT_IMAGES_PER_SEC = 3.0
 REFERENCE_TRAIN_MS_PER_STEP = 350.0  # 8x 2017-class GPUs, global batch 8
 
 BATCH = 30
@@ -73,6 +77,11 @@ def _label_gen_cfg(mode: str):
                               slic_iters=10, max_superpixels=256,
                               slic_enforce_connectivity=True)
         return LabelGenConfig(batchsize=BATCH, superpixel=sp,
+                              save_masks=False)
+    if mode == "direct":
+        # direct_clustering.py baseline: pixel-level clustering, no
+        # superpixels at all (the superpixel config is unused)
+        return LabelGenConfig(mode="direct", batchsize=BATCH,
                               save_masks=False)
     if mode == "felzenszwalb":
         # the reference's canonical hyperparameters
@@ -182,8 +191,9 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
 
     metric = ("label_gen_images_per_sec" if mode == "slic"
               else f"label_gen_{mode}_images_per_sec")
-    base = (REFERENCE_OVERLAPS_IMAGES_PER_SEC if mode == "overlaps"
-            else REFERENCE_IMAGES_PER_SEC)
+    base = {"overlaps": REFERENCE_OVERLAPS_IMAGES_PER_SEC,
+            "direct": REFERENCE_DIRECT_IMAGES_PER_SEC}.get(
+        mode, REFERENCE_IMAGES_PER_SEC)
     return {"metric": metric,
             "value": round(float(imgs_per_sec), 3),
             "unit": "img/s",
@@ -313,14 +323,14 @@ def bench_train(breakdown: bool = False) -> dict:
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="slic",
-                   choices=["slic", "slic_cc", "felzenszwalb", "overlaps",
-                            "train", "all"])
+                   choices=["slic", "slic_cc", "felzenszwalb", "direct",
+                            "overlaps", "train", "all"])
     p.add_argument("--breakdown", action="store_true",
                    help="print per-stage means + MFU estimate to stderr")
     args = p.parse_args()
 
-    modes = (["slic", "slic_cc", "felzenszwalb", "overlaps", "train"]
-             if args.mode == "all" else [args.mode])
+    modes = (["slic", "slic_cc", "felzenszwalb", "direct", "overlaps",
+              "train"] if args.mode == "all" else [args.mode])
     for m in modes:
         row = (bench_train(args.breakdown) if m == "train"
                else bench_label_gen(m, args.breakdown))
