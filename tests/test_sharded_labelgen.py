@@ -58,3 +58,29 @@ def test_generator_with_mesh(tmp_path):
         np.testing.assert_allclose(a["road_iou"], b["road_iou"],
                                    rtol=1e-6)
         assert a["TP"] == b["TP"] and a["FP"] == b["FP"]
+
+
+def test_fused_slic_generator_with_mesh(tmp_path):
+    """The flagship single-dispatch pipeline (SLIC fused into the
+    program) sharded over the 8-device mesh must match the unsharded
+    run — images shard over 'data' and every stage (SLIC, DRN, align,
+    joint k-means) stays inside one pjit program."""
+    cfg = LabelGenConfig(
+        batchsize=8, resize_shape=(112, 112),
+        superpixel=SuperpixelConfig(method="slic", n_slic_segments=40,
+                                    slic_iters=3, max_superpixels=128,
+                                    slic_enforce_connectivity=False),
+        out_dir=str(tmp_path), save_masks=False)
+    ds = SyntheticRoadScenes(n=8, full_shape=(128, 256), seed=17)
+
+    gen1 = SpalignLabelGenerator(cfg)
+    rec1 = gen1.process_dataset(ds, save=False)
+
+    gen8 = SpalignLabelGenerator(cfg, mesh=make_mesh(8))
+    rec8 = gen8.process_dataset(ds, save=False)
+
+    assert len(rec1) == len(rec8) == 8
+    for a, b in zip(rec1, rec8):
+        np.testing.assert_allclose(a["road_iou"], b["road_iou"],
+                                   rtol=1e-6)
+        assert a["TP"] == b["TP"] and a["FP"] == b["FP"]
