@@ -328,3 +328,38 @@ class TestPackedMasks:
         packed = unpack_mask_bits(np.asarray(handles["road_packed"]),
                                   road.shape[-1])
         np.testing.assert_array_equal(road, packed)
+
+
+class TestFusedDynamicK:
+    def test_fused_dynamic_k_matches_static(self):
+        """fused-SLIC + dynamic_k (the fast path under a k sweep) must
+        reproduce the static-k fused program per k, with one trace."""
+        import dataclasses
+
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False)
+        base = LabelGenConfig(batchsize=3, resize_shape=(112, 112),
+                              superpixel=sp, save_masks=False)
+        ds = SyntheticRoadScenes(n=3, full_shape=(256, 512), seed=9)
+        imgs, _ = ds.resized_batch(range(3), base.resize_shape)
+
+        gen_dyn = SpalignLabelGenerator(base, seed=5, dynamic_k=6)
+        from spalign_tpu.utils.timers import StageTimer
+
+        for k in (2, 4, 6):
+            gen_dyn.set_n_clusters(k)
+            cfg_k = dataclasses.replace(base, kmeans=dataclasses.replace(
+                base.kmeans, n_clusters=k))
+            gen_static = SpalignLabelGenerator(cfg_k, seed=5)
+            # align the seed streams
+            gen_dyn._seed_rng = np.random.RandomState(123)
+            gen_static._seed_rng = np.random.RandomState(123)
+            t = StageTimer()
+            h_dyn = gen_dyn.dispatch_batch(
+                gen_dyn._host_prepare(imgs, None, t), t)
+            h_sta = gen_static.dispatch_batch(
+                gen_static._host_prepare(imgs, None, t), t)
+            np.testing.assert_array_equal(np.asarray(h_dyn["cluster"]),
+                                          np.asarray(h_sta["cluster"]))
+        assert gen_dyn.n_program_traces() == 1
