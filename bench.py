@@ -329,6 +329,29 @@ def main():
                    help="print per-stage means + MFU estimate to stderr")
     args = p.parse_args()
 
+    # tunnel-health context (stderr; stdout stays machine-readable):
+    # the TPU link's latency drifts on an hours scale, so absolute
+    # throughput numbers need this reference point to be comparable
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.asarray(np.random.RandomState(0).rand(512, 512)
+                        .astype(np.float32))
+        np.asarray(x @ x)
+        ts = []
+        for i in range(3):
+            y = jnp.asarray(np.random.RandomState(i + 1).rand(512, 512)
+                            .astype(np.float32))
+            t0 = time.time()
+            np.asarray(y @ y)
+            ts.append(time.time() - t0)
+        print(f"tunnel health: 512^2 matmul round-trip best "
+              f"{min(ts) * 1000:.0f} ms (healthy <~200 ms; degraded "
+              f"phases measure 3-10x that)", file=sys.stderr)
+    except Exception:
+        pass
+
     modes = (["slic", "slic_cc", "felzenszwalb", "direct", "overlaps",
               "train"] if args.mode == "all" else [args.mode])
     for m in modes:
