@@ -43,6 +43,12 @@ def get_args(argv=None):
     p.add_argument("--felzenszwalb_sigma", type=float, default=0.8)
     p.add_argument("--felzenszwalb_min_size", type=int, default=20)
     p.add_argument("--n_slic_segments", type=int, default=100)
+    p.add_argument("--slic_no_connectivity", action="store_true",
+                   default=False,
+                   help="TPU-native fast path: skip the skimage-parity "
+                        "connectivity pass and fuse SLIC into the device "
+                        "program (one dispatch per batch; see PARITY.md "
+                        "'SLIC connectivity modes')")
     p.add_argument("--max_superpixels", type=int, default=1024)
     p.add_argument("--overlap_threshold", type=float, default=0.01)
     p.add_argument("--use_feature_maps", type=int, nargs="*", default=[7])
@@ -84,6 +90,7 @@ def config_from_args(args) -> LabelGenConfig:
             felzenszwalb_sigma=args.felzenszwalb_sigma,
             felzenszwalb_min_size=args.felzenszwalb_min_size,
             n_slic_segments=args.n_slic_segments,
+            slic_enforce_connectivity=not args.slic_no_connectivity,
             max_superpixels=args.max_superpixels),
         align=AlignConfig(n_anchors=args.n_anchors,
                           n_neighbors=args.n_neighbors,
