@@ -35,6 +35,10 @@ def get_args(argv=None):
     p.add_argument("--val_img_zip", type=str, default=None)
     p.add_argument("--val_label_zip", type=str, default=None)
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 runs the students' convs/BN on the "
+                        "MXU in half precision (f32 params)")
     return p.parse_args(argv)
 
 
@@ -58,7 +62,8 @@ def main(argv=None):
                        input_shape=tuple(args.input_shape),
                        eval_shape=tuple(args.eval_shape),
                        n_use_data=args.n_use_data,
-                       num_devices=args.num_devices)
+                       num_devices=args.num_devices,
+                       compute_dtype=args.compute_dtype)
     input_shape = tuple(args.input_shape)
     soft = loss in ("soft", "mse")
 
