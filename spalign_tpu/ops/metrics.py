@@ -27,6 +27,14 @@ def confusion_matrix(pred: jnp.ndarray, gt: jnp.ndarray,
     gt = gt.reshape(-1).astype(jnp.int32)
     valid = gt >= 0
     idx = jnp.where(valid, gt * n_class + pred, n_class * n_class)
+    if n_class * n_class <= 64:
+        # one-hot compare + column sums: scatter-add lowers to a
+        # serialized scatter on TPU (tens of ms over a 2 MP image),
+        # while this reduction fuses into one vectorized pass
+        cells = jnp.arange(n_class * n_class, dtype=jnp.int32)
+        counts = jnp.sum(idx[:, None] == cells[None, :], axis=0,
+                         dtype=jnp.int32)
+        return counts.reshape(n_class, n_class)
     counts = jnp.zeros((n_class * n_class + 1,), jnp.int32).at[idx].add(1)
     return counts[: n_class * n_class].reshape(n_class, n_class)
 
