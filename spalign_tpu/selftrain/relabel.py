@@ -91,8 +91,16 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
     Returns the list of per-image eval records (empty metrics when no gt).
     """
     apply_fn = lambda v, im, train: model.apply(v, im, train=train)
-    predict = jax.jit(lambda v, im: predict_labels(
-        apply_fn, v, im, pred_shape=eval_shape, return_score=True))
+
+    def _predict(v, im):
+        labels, score = predict_labels(apply_fn, v, im,
+                                       pred_shape=eval_shape,
+                                       return_score=True)
+        # n_class=2 labels travel the (slow) downlink as uint8 — 4x
+        # smaller than int32, lossless; scoring stays on device anyway
+        return labels.astype(jnp.uint8), score
+
+    predict = jax.jit(_predict)
     conf_fn = jax.jit(lambda p, g: jax.vmap(
         lambda pp, gg: confusion_matrix(pp, gg, 2))(p, g))
 
