@@ -12,11 +12,14 @@ jit-compiled device program:
     superpixels (B,h,w) -> align -> prior -> joint weighted k-means
                         -> painted masks -> (optional) full-res confusion
 
-Only the superpixel frontend may touch the host (felzenszwalb mode; SLIC
-runs on device).  Scoring downloads the small clustering-resolution
-masks and runs on the host (downloads are nearly free on this class of
-remote-attached TPU; uploads are the scarce resource).  Saving
-masks/images is optional and off the hot path.
+Only the superpixel frontend may touch the host (felzenszwalb mode, or
+SLIC with the skimage-parity connectivity pass); in the TPU-native fast
+path (slic_enforce_connectivity=False) even SLIC runs INSIDE the fused
+program and the only upload is the uint8 image batch.  Scoring
+downloads the small clustering-resolution masks BIT-PACKED
+(pack_mask_bits; the downlink is the next-scarcest resource after the
+uplink) and runs on the host.  Saving masks/images is optional and off
+the hot path.
 
 The host loop is a two-stage software pipeline: a producer thread
 prepares (decodes, segments, uploads) `prefetch` batches ahead, and the
