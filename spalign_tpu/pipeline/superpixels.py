@@ -16,6 +16,7 @@ the rest of the pipeline consumes.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor  # felzenszwalb fan-out
+from functools import lru_cache as _lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,16 @@ import numpy as np
 from spalign_tpu import native
 from spalign_tpu.config import SuperpixelConfig
 from spalign_tpu.kernels.slic import slic
+
+
+@_lru_cache(maxsize=None)
+def _batched_slic(n_segments: int, compactness: float, n_iter: int,
+                  narrow: bool):
+    """Module-cached jit program: one compile per SLIC configuration
+    (a per-call jax.jit object would recompile every batch)."""
+    return jax.jit(jax.vmap(lambda im: slic(
+        im, n_segments=n_segments, compactness=compactness,
+        n_iter=n_iter).astype(jnp.uint8 if narrow else jnp.int32)))
 
 
 def _felzenszwalb_batch(images_hwc: np.ndarray, cfg: SuperpixelConfig,
@@ -52,14 +63,19 @@ def _slic_batch(images_hwc, cfg: SuperpixelConfig, device_images=None,
     (kernels/experimental/ccl.py), so the host op wins; the
     pipeline hides this host work behind device compute of the next
     batch (LabelGeneratorBase prefetching)."""
+    from spalign_tpu.kernels.slic import slic_grid_size
+
     src = device_images if device_images is not None \
         else jnp.asarray(images_hwc)
     h, w = src.shape[1:3]
     min_size = max(1, (h * w) // (cfg.n_slic_segments * 4))
-    f = jax.vmap(lambda im: slic(im, n_segments=cfg.n_slic_segments,
-                                 compactness=cfg.slic_compactness,
-                                 n_iter=cfg.slic_iters))
-    labels = np.asarray(jax.device_get(f(src)))
+    # ship labels down at the narrowest lossless width (the downlink
+    # runs ~25 MB/s on remote-attached TPUs: int32 label maps cost 4x
+    # what the uint8 cast does)
+    narrow = slic_grid_size(h, w, cfg.n_slic_segments) < 2 ** 8
+    f = _batched_slic(cfg.n_slic_segments, cfg.slic_compactness,
+                      cfg.slic_iters, narrow)
+    labels = np.asarray(jax.device_get(f(src))).astype(np.int32)
     if not cfg.slic_enforce_connectivity:
         # TPU-native mode: grid labels are contiguous [0, K) already
         return labels
