@@ -76,8 +76,13 @@ def main(argv=None):
     #     swap via reconfigure(), which keeps every compiled program
     #     unless a program-baked field changed.
     # The CSV carries the trace count so compile sharing is auditable.
-    dynamic_k = (int(max(values)) if param == "kmeans.n_clusters"
-                 else None)
+    dynamic_k = None
+    if param == "kmeans.n_clusters":
+        if min(values) < 2:
+            # kmeans_seed_assignment computes rank % (k - 1) with a
+            # traced k: k < 2 would be a silent device-side mod-by-zero
+            raise SystemExit("kmeans.n_clusters sweep values must be >= 2")
+        dynamic_k = int(max(values))
     gen = make_label_generator(base_cfg, variables=variables,
                                model_name=base_args.model,
                                seed=base_args.seed, dynamic_k=dynamic_k)

@@ -47,7 +47,12 @@ def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray,
         sums = jnp.einsum("ns,nd->sd", oh, d2.astype(jnp.float32),
                           preferred_element_type=jnp.float32)
         counts = jnp.sum(oh, axis=0)[:, None]
-        out = (sums / jnp.maximum(counts, 1.0)).astype(data.dtype)
+        # float mean on BOTH branches (the segment_sum fallback's
+        # true-divide is float even for int data; keep the threshold
+        # behavior-invariant)
+        out = sums / jnp.maximum(counts, 1.0)
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            out = out.astype(data.dtype)
         return out[:, 0] if data.ndim == 1 else out
     sums = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
     counts = segment_sizes(segment_ids, num_segments).astype(data.dtype)

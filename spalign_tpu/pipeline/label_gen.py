@@ -249,6 +249,7 @@ class LabelGeneratorBase:
         # model_dtype='bfloat16' runs the conv stack on the MXU in bf16
         # (params stay f32; k-means always accumulates in f32)
         dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model_dtype]
+        self._model_name = model_name
         self.model = DRN_FACTORIES[model_name](out_map=True,
                                                out_middle=True, dtype=dtype)
         if variables is None:
@@ -294,13 +295,20 @@ class LabelGeneratorBase:
         program (host-side fields — superpixel engine parameters,
         batchsize, output paths, overlap_threshold — are free to vary)."""
         sp = cfg.superpixel
+        # the fused program bakes the SLIC grid size, which depends on
+        # BOTH the segment request and the image shape (slic_grid_size)
         sp_baked = ((sp.method, sp.n_slic_segments, sp.slic_compactness,
-                     sp.slic_iters)
+                     sp.slic_iters, cfg.resize_shape)
                     if _fused_superpixels(cfg) else (sp.max_superpixels,))
+        # n_clusters is a runtime value ONLY on the dynamic-k device
+        # path; the parity path (init='reference') always bakes it into
+        # stage_b's closure, so it must invalidate programs there
+        k_baked = (None if (self.dynamic_k is not None
+                            and cfg.kmeans.init == "device")
+                   else cfg.kmeans.n_clusters)
         return (cfg.mode, cfg.use_feature_maps, cfg.align,
                 cfg.kmeans.n_iter, cfg.kmeans.init, cfg.prior,
-                sp_baked, cfg.model_dtype,
-                None if self.dynamic_k else cfg.kmeans.n_clusters)
+                sp_baked, cfg.model_dtype, k_baked)
 
     def reconfigure(self, cfg: LabelGenConfig):
         """Adopt a new config, invalidating compiled programs only when a
@@ -308,9 +316,24 @@ class LabelGeneratorBase:
         process-per-configuration sweep scripts (utils/dmux/*): with
         minutes-long tunnel compiles, sharing the compiled program across
         a sweep is the difference between minutes and hours."""
+        if (self.dynamic_k is not None
+                and cfg.kmeans.n_clusters > self.dynamic_k):
+            raise ValueError(
+                f"n_clusters={cfg.kmeans.n_clusters} > dynamic_k bound "
+                f"{self.dynamic_k}")
         if self._program_fields(cfg) != self._program_fields(self.cfg):
             self._fused = None
             self._parity = None
+            if cfg.model_dtype != self.cfg.model_dtype:
+                # the feature extractor's compute dtype is fixed at
+                # module construction — rebuild it (params are shared;
+                # they stay f32 in both modes)
+                dtype = {"float32": None,
+                         "bfloat16": jnp.bfloat16}[cfg.model_dtype]
+                self.model = DRN_FACTORIES[self._model_name](
+                    out_map=True, out_middle=True, dtype=dtype)
+                self.features = jax.jit(build_feature_fn(
+                    self.model, self.variables, cfg.use_feature_maps))
         self.cfg = cfg
         p = cfg.prior
         self._prior_params = (p.y_rel_pos, p.x_rel_pos, p.y_rel_sigma,

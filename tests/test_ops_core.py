@@ -59,6 +59,17 @@ class TestSegments:
                                        rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(got[10:], 0.0)
 
+    def test_segment_mean_int_data_is_float_on_both_branches(self, rng):
+        """Behavior must not flip at the one-hot/scatter threshold:
+        integer data yields a FLOAT mean on both paths (advisor round 2)."""
+        ids = rng.randint(0, 10, size=100).astype(np.int32)
+        x = rng.randint(0, 50, size=(100, 3)).astype(np.int32)
+        small = np.asarray(segment_mean(jnp.asarray(x), jnp.asarray(ids), 12))
+        big = np.asarray(segment_mean(jnp.asarray(x), jnp.asarray(ids), 600))
+        assert np.issubdtype(small.dtype, np.floating)
+        assert np.issubdtype(big.dtype, np.floating)
+        np.testing.assert_allclose(small, big[:12], rtol=1e-5)
+
     def test_center_of_mass(self, rng):
         sp = random_superpixels(rng, 48, 64, 25)
         n = int(sp.max()) + 1

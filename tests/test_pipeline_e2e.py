@@ -363,3 +363,65 @@ class TestFusedDynamicK:
             np.testing.assert_array_equal(np.asarray(h_dyn["cluster"]),
                                           np.asarray(h_sta["cluster"]))
         assert gen_dyn.n_program_traces() == 1
+
+
+class TestReconfigureInvalidation:
+    """Regression tests for the round-2 advisor findings: which config
+    fields must invalidate compiled programs on reconfigure."""
+
+    def _gen(self, **kw):
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False)
+        cfg = LabelGenConfig(batchsize=2, resize_shape=(112, 112),
+                             superpixel=sp, save_masks=False)
+        return SpalignLabelGenerator(cfg, **kw), cfg
+
+    def test_parity_init_bakes_n_clusters_even_with_dynamic_k(self):
+        """With init='reference', stage_b bakes k into its closure — a
+        dynamic_k generator must still invalidate on n_clusters change
+        (advisor: every fig7 parity-sweep row silently reran the first
+        row's k)."""
+        import dataclasses
+
+        gen, cfg = self._gen(dynamic_k=6)
+        ref = dataclasses.replace(cfg, kmeans=dataclasses.replace(
+            cfg.kmeans, init="reference"))
+        f3 = gen._program_fields(dataclasses.replace(
+            ref, kmeans=dataclasses.replace(ref.kmeans, n_clusters=3)))
+        f5 = gen._program_fields(dataclasses.replace(
+            ref, kmeans=dataclasses.replace(ref.kmeans, n_clusters=5)))
+        assert f3 != f5
+        # device init keeps the single dynamic program across k
+        d3 = gen._program_fields(dataclasses.replace(
+            cfg, kmeans=dataclasses.replace(cfg.kmeans, n_clusters=3)))
+        d5 = gen._program_fields(dataclasses.replace(
+            cfg, kmeans=dataclasses.replace(cfg.kmeans, n_clusters=5)))
+        assert d3 == d5
+
+    def test_reconfigure_rejects_k_above_dynamic_bound(self):
+        gen, cfg = self._gen(dynamic_k=4)
+        with pytest.raises(ValueError, match="dynamic_k"):
+            gen.set_n_clusters(6)
+
+    def test_resize_shape_invalidates_fused_program(self):
+        """The fused-SLIC program bakes the grid size computed from
+        resize_shape; changing it must drop the compiled program."""
+        import dataclasses
+
+        gen, cfg = self._gen()
+        assert (gen._program_fields(cfg)
+                != gen._program_fields(dataclasses.replace(
+                    cfg, resize_shape=(224, 224))))
+
+    def test_model_dtype_change_rebuilds_model(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        gen, cfg = self._gen()
+        assert gen.model.dtype in (None, jnp.float32)
+        gen.reconfigure(dataclasses.replace(cfg, model_dtype="bfloat16"))
+        assert gen.model.dtype == jnp.bfloat16
+        gen.reconfigure(cfg)
+        assert gen.model.dtype in (None, jnp.float32)
