@@ -223,3 +223,21 @@ class TestResize:
         x = rng.randn(4, 6, 2).astype(np.float32)
         y = bilinear_resize(jnp.asarray(x), (8, 12))
         assert y.shape == (8, 12, 2)
+
+    def test_blocked_onehot_path_matches_scatter(self, rng):
+        """S in (513..4096] runs 512-column blocked one-hot matmuls;
+        results must match the scatter fallback exactly."""
+        from spalign_tpu.ops.segments import segment_sizes
+
+        ids = rng.randint(0, 1500, size=5000).astype(np.int32)
+        x = rng.randn(5000, 3).astype(np.float32)
+        got = np.asarray(segment_mean(jnp.asarray(x), jnp.asarray(ids),
+                                      1537))
+        sizes = np.asarray(segment_sizes(jnp.asarray(ids), 1537))
+        np.testing.assert_array_equal(
+            sizes, np.bincount(ids, minlength=1537))
+        for s in (0, 7, 512, 513, 1024, 1499):
+            if (ids == s).any():
+                np.testing.assert_allclose(got[s], x[ids == s].mean(0),
+                                           rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(got[1500:], 0.0)
