@@ -55,8 +55,26 @@ REFERENCE_DIRECT_IMAGES_PER_SEC = 3.0
 REFERENCE_TRAIN_MS_PER_STEP = 350.0  # 8x 2017-class GPUs, global batch 8
 
 BATCH = 30
+GROUPS = 5  # clustering batches fused per dispatch in slic mode
 N_BATCHES_TIMED = 5
 FULL_SHAPE = (1024, 2048)
+
+
+def _tunnel_rtt(n: int = 3) -> float:
+    """Best-of-n round-trip of a TINY program (upload + dispatch + fetch
+    of an 8x8 matmul): the fixed per-fetch tax of the remote-attached
+    tunnel, subtracted by the device-time probe.  Returns seconds."""
+    import jax.numpy as jnp
+
+    best = float("inf")
+    for i in range(n + 1):  # first iteration warms the compile
+        x = jnp.asarray(np.random.RandomState(i).rand(8, 8)
+                        .astype(np.float32))
+        t0 = time.time()
+        np.asarray(x @ x)
+        if i:
+            best = min(best, time.time() - t0)
+    return best
 
 
 def _label_gen_cfg(mode: str):
@@ -64,12 +82,15 @@ def _label_gen_cfg(mode: str):
 
     if mode == "slic":
         # the TPU-native flagship: SLIC fused INTO the device program
-        # (slic_enforce_connectivity=False) — one dispatch per batch,
-        # the only host work is the uint8 upload
+        # (slic_enforce_connectivity=False) — one dispatch per UNIT of
+        # GROUPS independent 30-image clustering batches (amortizes the
+        # fixed ~40 ms upload/round-trip tax), the only host work is the
+        # uint8 upload
         sp = SuperpixelConfig(method="slic", n_slic_segments=100,
                               slic_iters=10, max_superpixels=256,
                               slic_enforce_connectivity=False)
         return LabelGenConfig(batchsize=BATCH, superpixel=sp,
+                              groups_per_dispatch=GROUPS,
                               save_masks=False)
     if mode == "slic_cc":
         # skimage-parity SLIC: host union-find connectivity pass
@@ -103,6 +124,16 @@ def _label_gen_cfg(mode: str):
                               max_superpixels=65536)
         return LabelGenConfig(mode="overlaps", batchsize=BATCH,
                               superpixel=sp, save_masks=False)
+    if mode == "overlaps_slic":
+        # TPU-native overlaps variant (documented deviation): full-res
+        # superpixels via on-device SLIC — label maps never leave the
+        # chip, masks come down bit-packed.  Batch 8: a 30-image unit
+        # would hold 30 x 2 MP x (3B image + 4B labels) on chip at once.
+        sp = SuperpixelConfig(method="slic", n_slic_segments=1024,
+                              slic_iters=5, max_superpixels=2048,
+                              slic_enforce_connectivity=False)
+        return LabelGenConfig(mode="overlaps", batchsize=8,
+                              superpixel=sp, save_masks=False)
     raise ValueError(mode)
 
 
@@ -111,14 +142,16 @@ class _InMemory:
     property of the storage format, not the pipeline; the real loader
     prefetches it behind device compute anyway)."""
 
-    def __init__(self, frames, fulls=None, n_batches=N_BATCHES_TIMED):
+    def __init__(self, frames, fulls=None, n_batches=N_BATCHES_TIMED,
+                 batch=BATCH):
         self.frames = frames
         self.fulls = fulls
         self.n_src = len(frames)
         self.n_batches = n_batches
+        self.batch = batch
 
     def __len__(self):
-        return self.n_batches * BATCH
+        return self.n_batches * self.batch
 
     def image_name(self, i):
         return f"bench_{i:06d}.png"
@@ -137,22 +170,29 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     from spalign_tpu.pipeline.direct import make_label_generator
 
     cfg = _label_gen_cfg(mode)
+    bs = cfg.batchsize
     # overlaps is host-bound on FULL-RES felzenszwalb (~1 s/img on this
     # 1-core box): fewer batches/reps keep the bench affordable.  The
     # cheap modes take best-of-5: the tunnel has hours-scale drift and
     # short stalls, so more reps buy real tail protection.
     n_batches, reps = (2, 1) if mode == "overlaps" else (N_BATCHES_TIMED,
                                                          5)
-    ds = SyntheticRoadScenes(n=BATCH * 2, full_shape=FULL_SHAPE, seed=7)
+    if mode == "slic":
+        # multi-group dispatch: time 3 units of GROUPS batches so the
+        # in-flight pipeline still overlaps units
+        n_batches = 3 * GROUPS
+    if mode == "overlaps_slic":
+        n_batches, reps = 4, 3
+    ds = SyntheticRoadScenes(n=bs * 2, full_shape=FULL_SHAPE, seed=7)
     gen = make_label_generator(cfg)
 
-    imgs_a, _ = ds.resized_batch(range(BATCH), cfg.resize_shape)
-    imgs_b, _ = ds.resized_batch(range(BATCH, 2 * BATCH), cfg.resize_shape)
+    imgs_a, _ = ds.resized_batch(range(bs), cfg.resize_shape)
+    imgs_b, _ = ds.resized_batch(range(bs, 2 * bs), cfg.resize_shape)
     fulls = None
     if gen.needs_full_images:
-        fulls = np.stack([ds[i][0] for i in range(2 * BATCH)])
+        fulls = np.stack([ds[i][0] for i in range(2 * bs)])
     mem = _InMemory(np.concatenate([imgs_a, imgs_b]), fulls,
-                    n_batches=n_batches)
+                    n_batches=n_batches, batch=bs)
 
     # The unlabeled/no-save path never fetches the masks; the bench must
     # (they are the pipeline's product, and on this runtime a host fetch
@@ -168,11 +208,9 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
 
     gen.finish_batch = finish_and_land
 
-    # Warmup: compile every program involved.
-    for b, off in ((imgs_a, 0), (imgs_b, BATCH)):
-        full = fulls[off:off + BATCH] if fulls is not None else None
-        road, _, _, _ = gen.run_batch(b, full_images=full)
-    np.asarray(road)
+    # Warmup: one full pass compiles every program involved (including
+    # the multi-group unit shape and any ragged tail unit).
+    gen.process_dataset(mem, save=False)
 
     # The remote-attached TPU tunnel adds noisy latency; take the best of
     # three repetitions as the steady-state number.
@@ -181,10 +219,10 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
         t0 = time.time()
         records = gen.process_dataset(mem, save=False)
         dt = time.time() - t0
-        assert len(records) == n_batches * BATCH
+        assert len(records) == n_batches * bs
         if dt < best_dt:
             best_dt, best_records = dt, records
-    imgs_per_sec = BATCH * n_batches / best_dt
+    imgs_per_sec = bs * n_batches / best_dt
 
     if breakdown:
         _print_breakdown(mode, gen, best_records, imgs_per_sec)
@@ -192,6 +230,7 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     metric = ("label_gen_images_per_sec" if mode == "slic"
               else f"label_gen_{mode}_images_per_sec")
     base = {"overlaps": REFERENCE_OVERLAPS_IMAGES_PER_SEC,
+            "overlaps_slic": REFERENCE_OVERLAPS_IMAGES_PER_SEC,
             "direct": REFERENCE_DIRECT_IMAGES_PER_SEC}.get(
         mode, REFERENCE_IMAGES_PER_SEC)
     return {"metric": metric,
@@ -216,15 +255,23 @@ def _print_breakdown(mode, gen, records, imgs_per_sec):
         # each record in a batch carries the batch's times; dedupe 1/BATCH
         print(f"    {k:<18} {np.mean(v):8.4f}", file=sys.stderr)
 
-    # Device-only time of the fused program (execution, not dispatch):
-    # vary the seed so the runtime's memoization cannot shortcut it.
+    # Device-only time of the fused program.  Method: N executions
+    # chained behind ONE fence — back-to-back executions serialize on
+    # the device, so (fence_time - tunnel_round_trip) / N is execution
+    # time with the per-fetch tunnel tax amortized away.  (Fencing each
+    # call individually, as round 2 did, adds a full tunnel round trip
+    # PER call and produced "device-bound" rates below the measured
+    # end-to-end rate — an impossibility.)  Seeds vary per call so the
+    # runtime's input memoization cannot shortcut any execution.
     try:
         from spalign_tpu.pipeline.label_gen import _fused_superpixels
 
         prog = gen._fused_program()
         cfgb = gen.cfg
+        groups = max(1, cfgb.groups_per_dispatch)
+        n_imgs = cfgb.batchsize * groups  # the unit shape the bench ran
         imgs = np.random.RandomState(0).randint(
-            0, 255, (cfgb.batchsize, *cfgb.resize_shape, 3), np.uint8)
+            0, 255, (n_imgs, *cfgb.resize_shape, 3), np.uint8)
         needs_sps = (cfgb.mode == "spalign"
                      and not _fused_superpixels(cfgb))
         sps = None
@@ -233,29 +280,101 @@ def _print_breakdown(mode, gen, records, imgs_per_sec):
                 compute_superpixels
             sps, _ = compute_superpixels(imgs, cfgb.superpixel)
 
-        def call(seed):
-            a = (imgs, sps, seed) if needs_sps else (imgs, seed)
+        def call(base_seed):
+            seeds = np.arange(base_seed, base_seed + groups,
+                              dtype=np.uint32)
+            a = (imgs, sps, seeds) if needs_sps else (imgs, seeds)
             return a + (np.int32(cfgb.kmeans.n_clusters),)
 
-        ts = []
-        for s in range(3):
-            t0 = time.time()
-            out = prog(*call(np.uint32(1234 + s)))
+        def fence(out):
             # real fence (block_until_ready is a no-op on this runtime):
             # land the packed masks when the program provides them
             np.asarray(out[1] if len(out) == 6 else out[0])
-            ts.append(time.time() - t0)
-        dev_t = min(ts)
-        lowered = prog.lower(*call(np.uint32(1)))
+
+        fence(prog(*call(7000)))  # warm (compile + upload path)
+        rtt = _tunnel_rtt()
+        n_execs = 10
+        t0 = time.time()
+        outs = [prog(*call(1000 + 10 * s)) for s in range(n_execs)]
+        fence(outs[-1])  # executions serialize; last-done fences all
+        dev_t = max(time.time() - t0 - rtt, 1e-9) / n_execs
+        lowered = prog.lower(*call(1))
         flops = lowered.compile().cost_analysis().get("flops", 0.0)
-        peak = 197e12  # v5e bf16 peak; f32 ~ half
-        print(f"    device program    {dev_t:8.4f}  "
-              f"({cfgb.batchsize / dev_t:.0f} img/s device-bound, "
-              f"~{flops / dev_t / peak * 100:.1f}% of bf16 peak "
-              f"[{flops / 1e9:.1f} GFLOP/batch])", file=sys.stderr)
+        # v5e peaks: 394 TOPS int8, 197 TFLOP/s bf16, ~98.5 TFLOP/s f32.
+        # cost_analysis reports algorithmic flops of the traced program;
+        # rate them against the peak of the dtype they execute in.
+        peak, peak_name = ((197e12, "bf16")
+                           if cfgb.model_dtype == "bfloat16"
+                           else (98.5e12, "f32"))
+        print(f"    device program    {dev_t:8.4f} s/unit "
+              f"({n_imgs / dev_t:.0f} img/s device-bound, "
+              f"~{flops / dev_t / peak * 100:.1f}% of {peak_name} peak "
+              f"[{flops / 1e9:.1f} GFLOP/unit of {groups}x"
+              f"{cfgb.batchsize} imgs; tunnel rtt {rtt * 1e3:.0f} ms, "
+              f"N={n_execs} behind one fence])", file=sys.stderr)
     except Exception as e:  # breakdown must never break the bench
         print(f"    (device-program probe unavailable: {e})",
               file=sys.stderr)
+
+
+def bench_relabel(breakdown: bool = False) -> dict:
+    """Self-training relabel pass: SegNetBasic predicts soft pseudo-
+    labels for 512x1024 inputs at full 1024x2048 eval resolution,
+    streamed into a zip (labels_from_segnet.py:26-153 +
+    run_train_rounds.py:191-235).  The dominant cost is the score
+    downlink — float16-on-device + bit-packed preds + the in-flight
+    pipeline are the levers being measured."""
+    import os
+    import tempfile
+
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    h, w = 512, 1024
+    eval_hw = (1024, 2048)
+    n_imgs, batch = 16, 8
+    rng = np.random.RandomState(3)
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, h, w, 3), np.float32),
+                           train=False)
+
+    class _Ds:
+        def __len__(self):
+            return n_imgs
+
+        def image_name(self, i):
+            return f"bench_{i:06d}.png"
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(100 + i)  # varied (memoizer!)
+            return (r.rand(h, w, 3).astype(np.float32),
+                    r.randint(-1, 2, eval_hw).astype(np.int32))
+
+    best = float("inf")
+    with tempfile.TemporaryDirectory() as td:
+        for rep in range(3):
+            out = os.path.join(td, f"r{rep}.0.zip")
+            t0 = time.time()
+            recs = relabel_dataset(model, variables, _Ds(), out,
+                                   eval_shape=eval_hw, batch_size=batch,
+                                   soft_label=True,
+                                   score_dtype=np.float16)
+            dt = time.time() - t0
+            assert len(recs) == n_imgs
+            best = min(best, dt)
+    imgs_per_sec = n_imgs / best
+    if breakdown:
+        print(f"--- relabel: {imgs_per_sec:.2f} img/s soft-f16 "
+              f"(batch {batch}, {n_imgs} imgs incl. first-rep compile "
+              f"excluded by best-of-3)", file=sys.stderr)
+    # Reference: per-image forward + CPU resize to 2 MP + f32 npz queue
+    # (labels_from_segnet.py) — ~3 img/s per 2017-class GPU worker.
+    return {"metric": "relabel_images_per_sec",
+            "value": round(float(imgs_per_sec), 3), "unit": "img/s",
+            "vs_baseline": round(float(imgs_per_sec / 3.0), 2)}
 
 
 def bench_train(breakdown: bool = False) -> dict:
@@ -315,6 +434,18 @@ def bench_train(breakdown: bool = False) -> dict:
         print(f"--- train: {ms:.1f} ms/step on {n_dev} device(s), global "
               f"batch {cfg.batchsize} @ {h}x{w}; 2000-iter recipe ≈ "
               f"{2000 * best / 60:.1f} min", file=sys.stderr)
+        try:
+            flops = step_fn.lower(state, *batch(0)).compile(
+            ).cost_analysis().get("flops", 0.0)
+            peak, peak_name = ((197e12, "bf16")
+                               if cfg.compute_dtype == "bfloat16"
+                               else (98.5e12, "f32"))
+            print(f"    step = {flops / 1e9:.1f} GFLOP -> "
+                  f"~{flops / best / peak * 100:.1f}% of {peak_name} "
+                  f"peak", file=sys.stderr)
+        except Exception as e:
+            print(f"    (train FLOP probe unavailable: {e})",
+                  file=sys.stderr)
     return {"metric": "segnet_train_ms_per_step",
             "value": round(ms, 2), "unit": "ms/step",
             "vs_baseline": round(REFERENCE_TRAIN_MS_PER_STEP / ms, 2)}
@@ -324,7 +455,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="slic",
                    choices=["slic", "slic_cc", "felzenszwalb", "direct",
-                            "overlaps", "train", "all"])
+                            "overlaps", "overlaps_slic", "relabel",
+                            "train", "all"])
     p.add_argument("--breakdown", action="store_true",
                    help="print per-stage means + MFU estimate to stderr")
     args = p.parse_args()
@@ -353,9 +485,11 @@ def main():
         pass
 
     modes = (["slic", "slic_cc", "felzenszwalb", "direct", "overlaps",
-              "train"] if args.mode == "all" else [args.mode])
+              "overlaps_slic", "relabel", "train"]
+             if args.mode == "all" else [args.mode])
     for m in modes:
         row = (bench_train(args.breakdown) if m == "train"
+               else bench_relabel(args.breakdown) if m == "relabel"
                else bench_label_gen(m, args.breakdown))
         print(json.dumps(row), flush=True)
 

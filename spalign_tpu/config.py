@@ -123,10 +123,22 @@ class LabelGenConfig:
     # overlap / n_predicted_road_pixels > overlap_threshold
     # (reference superpixel_overlaps.py:79,359-369)
     overlap_threshold: float = 0.01
+    # Number of INDEPENDENT clustering batches fused into one device
+    # dispatch (vmapped over a group axis; per-group semantics stay
+    # reference-exact).  On remote-attached TPUs every dispatch pays a
+    # fixed ~40 ms upload + round-trip tax; grouping amortizes it.  The
+    # parity init path always runs one group per dispatch.
+    groups_per_dispatch: int = 1
     out_dir: str = "results/labels"
     save_images: bool = False  # diagnostic 2x2 panels
     save_masks: bool = True
-    model_dtype: str = "float32"  # 'float32' | 'bfloat16' feature extractor
+    # Feature-extractor compute dtype.  bfloat16 is the default: the DRN
+    # forward runs on the MXU at 2x the f32 rate, k-means still
+    # accumulates in f32 (ops/kmeans.py casts), and the mask-level IoU
+    # delta on the synthetic quality gate is within run noise
+    # (tests/test_pipeline_e2e.py::TestBF16::test_quality_gate_f32_vs_bf16).
+    # Bit-parity mode (kmeans.init='reference') pins f32 regardless.
+    model_dtype: str = "bfloat16"  # 'float32' | 'bfloat16'
 
 
 @dataclass(frozen=True)
@@ -170,6 +182,12 @@ class RoundsConfig:
     result_base_dir: str = "results"
     eval_shape: Tuple[int, int] = (1024, 2048)
     n_labels: Optional[int] = None  # inferred from dataset if None
+    # On-disk/downlink dtype for soft relabel scores.  float16 halves
+    # both the fetch (the relabel pass's dominant cost on remote-
+    # attached TPUs) and the zip; scores are softmax probabilities, so
+    # the quantization is ~1e-4 absolute.  The reference writes float32
+    # (labels_from_segnet.py:86-95) — set "float32" for disk parity.
+    score_dtype: str = "float16"
 
 
 def to_json(cfg) -> str:

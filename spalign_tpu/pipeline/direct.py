@@ -72,6 +72,25 @@ def direct_cluster_dynamic(feature_maps, key, k, *, k_max: int,
     return cluster_maps == 0, cluster_maps, res
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _refine_packed_program(num_segments: int):
+    """Module-cached jit: overlaps refine + bit-packed downlink form of
+    the full-res masks (8x less of the ~25 MB/s downlink; threshold is
+    a traced arg so sweeps share the compile)."""
+    from spalign_tpu.pipeline.label_gen import pack_mask_bits
+
+    @jax.jit
+    def refine(road_small, superpixels_full, threshold):
+        refined = overlaps_refine(road_small, superpixels_full,
+                                  threshold, num_segments=num_segments)
+        return refined, pack_mask_bits(refined)
+
+    return refine
+
+
 @partial(jax.jit, static_argnames=("num_segments",))
 def overlaps_refine(road_small, superpixels_full, threshold: float,
                     num_segments: int):
@@ -99,9 +118,11 @@ class DirectLabelGenerator(LabelGeneratorBase):
     """direct_clustering.py equivalent."""
 
     def _fused_program(self):
-        """Feature extractor + pixel clustering as ONE dispatch (the key
-        derives on device from a host seed scalar — see the spalign
-        generator for the rationale)."""
+        """Feature extractor + pixel clustering as ONE dispatch (keys
+        derive on device from host seed scalars — see the spalign
+        generator).  ``seeds`` is (G,): the batch splits into G
+        independent clustering groups, each reference-exact (the
+        multi-group dispatch lever, see LabelGenConfig)."""
         if self._fused is not None:
             return self._fused
         from spalign_tpu.pipeline.label_gen import build_feature_fn
@@ -111,23 +132,34 @@ class DirectLabelGenerator(LabelGeneratorBase):
                                       cfg.use_feature_maps)
 
         @jax.jit
-        def program(imgs, seed, k):
+        def program(imgs, seeds, k):
             fmaps = feature_fn(imgs)
-            if self.dynamic_k is None:
-                return direct_cluster(
-                    fmaps, jax.random.key(seed), k=cfg.kmeans.n_clusters,
+            g = seeds.shape[0]
+            n = imgs.shape[0]
+
+            def group(fm, seed):
+                key = jax.random.key(seed)
+                if self.dynamic_k is None:
+                    return direct_cluster(
+                        fm, key, k=cfg.kmeans.n_clusters,
+                        n_iter=cfg.kmeans.n_iter,
+                        prior_params=self._prior_params)
+                return direct_cluster_dynamic(
+                    fm, key, k, k_max=self.dynamic_k,
                     n_iter=cfg.kmeans.n_iter,
                     prior_params=self._prior_params)
-            return direct_cluster_dynamic(
-                fmaps, jax.random.key(seed), k, k_max=self.dynamic_k,
-                n_iter=cfg.kmeans.n_iter, prior_params=self._prior_params)
+
+            road, cluster, res = jax.vmap(group)(
+                fmaps.reshape(g, n // g, *fmaps.shape[1:]), seeds)
+            return (road.reshape(n, *road.shape[2:]),
+                    cluster.reshape(n, *cluster.shape[2:]), res)
 
         self._fused = program
         return program
 
     def dispatch_batch(self, prepared, timers) -> dict:
         road, cluster, res = self._fused_program()(
-            prepared["imgs_dev"], self._next_seed(),
+            prepared["imgs_dev"], self._unit_seeds(prepared),
             np.int32(self.cfg.kmeans.n_clusters))
         handles = {"road": road, "cluster": cluster, "res": res}
         if "full_sps" in prepared:
@@ -135,9 +167,11 @@ class DirectLabelGenerator(LabelGeneratorBase):
             # execution overlaps the next batch — see PARITY.md timing
             # notes)
             with timers.stage("refine"):
-                handles["road"] = overlaps_refine(
-                    road, prepared["full_sps"], self.cfg.overlap_threshold,
-                    num_segments=self.cfg.superpixel.max_superpixels)
+                handles["road"], handles["road_packed"] = \
+                    _refine_packed_program(
+                        self.cfg.superpixel.max_superpixels)(
+                        road, prepared["full_sps"],
+                        self.cfg.overlap_threshold)
         return handles
 
     def finish_batch(self, prepared, handles, timers):
@@ -145,9 +179,12 @@ class DirectLabelGenerator(LabelGeneratorBase):
         with timers.stage("kmeans"):
             n_it, conv, empty = jax.device_get(
                 (res.n_iter, res.converged, res.empty_stop))
-        diag = {"kmeans_iters": int(n_it),
-                "kmeans_converged": bool(conv),
-                "kmeans_empty_stop": bool(empty)}
+        diag = {"_per_group": {
+            "kmeans_iters": np.atleast_1d(n_it).astype(int).tolist(),
+            "kmeans_converged": np.atleast_1d(conv).astype(bool).tolist(),
+            "kmeans_empty_stop": np.atleast_1d(empty).astype(
+                bool).tolist(),
+        }}
         if "counts" in prepared:
             diag["n_superpixels"] = prepared["counts"].tolist()
         return handles["road"], handles["cluster"], diag
@@ -165,10 +202,36 @@ class OverlapsLabelGenerator(DirectLabelGenerator):
         if full_images is None:
             raise ValueError("overlaps mode needs full-resolution images")
         prepared = super()._host_prepare(images_uint8, full_images, timers)
-        with timers.stage("superpixel"):
-            sps, counts = compute_superpixels(full_images,
-                                              self.cfg.superpixel)
-        prepared.update(full_sps=self._put(sps), counts=counts)
+        spcfg = self.cfg.superpixel
+        if spcfg.method == "slic" and not spcfg.slic_enforce_connectivity:
+            # TPU-native front-end (documented deviation; felzenszwalb
+            # stays the reference-parity default,
+            # superpixel_overlaps.py:309-320): full-res SLIC runs ON
+            # DEVICE and its label maps never leave the chip — the host
+            # cost drops to the image upload, vs seconds/image of
+            # single-core felzenszwalb
+            from spalign_tpu.kernels.slic import slic_grid_size
+            from spalign_tpu.pipeline.superpixels import \
+                batched_slic_device
+
+            b, h, w = full_images.shape[:3]
+            s_grid = slic_grid_size(h, w, spcfg.n_slic_segments)
+            if s_grid > spcfg.max_superpixels:
+                raise ValueError(
+                    f"SLIC grid {s_grid} > max_superpixels "
+                    f"{spcfg.max_superpixels}")
+            with timers.stage("superpixel"):
+                full_dev = self._put(np.ascontiguousarray(full_images))
+                sps = batched_slic_device(
+                    spcfg.n_slic_segments, spcfg.slic_compactness,
+                    spcfg.slic_iters)(full_dev)
+                counts = np.full((b,), s_grid, np.int32)
+        else:
+            with timers.stage("superpixel"):
+                sps_host, counts = compute_superpixels(full_images,
+                                                       spcfg)
+                sps = self._put(sps_host)
+        prepared.update(full_sps=sps, counts=counts)
         return prepared
 
 

@@ -248,7 +248,7 @@ class LabelGeneratorBase:
                 f"{dynamic_k}")
         # model_dtype='bfloat16' runs the conv stack on the MXU in bf16
         # (params stay f32; k-means always accumulates in f32)
-        dtype = {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model_dtype]
+        dtype = _effective_model_dtype(cfg)
         self._model_name = model_name
         self.model = DRN_FACTORIES[model_name](out_map=True,
                                                out_middle=True, dtype=dtype)
@@ -266,9 +266,15 @@ class LabelGeneratorBase:
         # key would be one extra device round trip per batch
         self._seed_rng = np.random.RandomState(
             cfg.kmeans.seed if seed is None else seed)
-        # bit-parity mode's replica of the reference's process-global
-        # numpy RNG (np.random.seed(1111), batch_spalign_kmeans.py:33-35)
+        # bit-parity mode's replicas of the reference's process-global
+        # RNGs (random.seed/np.random.seed(1111),
+        # batch_spalign_kmeans.py:33-35): numpy stream = k-means init
+        # (:148), python stream = per-superpixel anchor shuffle (:232)
         self._parity_rng = np.random.RandomState(
+            cfg.kmeans.seed if seed is None else seed)
+        import random as _pyrandom
+
+        self._parity_pyrng = _pyrandom.Random(
             cfg.kmeans.seed if seed is None else seed)
         p = cfg.prior
         self._prior_params = (p.y_rel_pos, p.x_rel_pos, p.y_rel_sigma,
@@ -286,6 +292,14 @@ class LabelGeneratorBase:
 
     def _next_seed(self) -> np.uint32:
         return np.uint32(self._seed_rng.randint(0, 2 ** 31))
+
+    def _unit_seeds(self, prepared) -> np.ndarray:
+        """One seed per clustering group, drawn in group order from the
+        sequential stream — the same seeds G single-group dispatches
+        would have consumed."""
+        g = int(prepared.get("n_groups", 1))
+        return np.asarray([self._next_seed() for _ in range(g)],
+                          np.uint32)
 
     # --- sweep support: swap config values without rebuilding programs ---
 
@@ -308,7 +322,7 @@ class LabelGeneratorBase:
                    else cfg.kmeans.n_clusters)
         return (cfg.mode, cfg.use_feature_maps, cfg.align,
                 cfg.kmeans.n_iter, cfg.kmeans.init, cfg.prior,
-                sp_baked, cfg.model_dtype, k_baked)
+                sp_baked, _effective_model_dtype(cfg), k_baked)
 
     def reconfigure(self, cfg: LabelGenConfig):
         """Adopt a new config, invalidating compiled programs only when a
@@ -324,14 +338,14 @@ class LabelGeneratorBase:
         if self._program_fields(cfg) != self._program_fields(self.cfg):
             self._fused = None
             self._parity = None
-            if cfg.model_dtype != self.cfg.model_dtype:
+            if (_effective_model_dtype(cfg)
+                    != _effective_model_dtype(self.cfg)):
                 # the feature extractor's compute dtype is fixed at
                 # module construction — rebuild it (params are shared;
                 # they stay f32 in both modes)
-                dtype = {"float32": None,
-                         "bfloat16": jnp.bfloat16}[cfg.model_dtype]
                 self.model = DRN_FACTORIES[self._model_name](
-                    out_map=True, out_middle=True, dtype=dtype)
+                    out_map=True, out_middle=True,
+                    dtype=_effective_model_dtype(cfg))
                 self.features = jax.jit(build_feature_fn(
                     self.model, self.variables, cfg.use_feature_maps))
         self.cfg = cfg
@@ -389,6 +403,11 @@ class LabelGeneratorBase:
                                           timers)
         handles = self.dispatch_batch(prepared, timers)
         road, cluster, diag = self.finish_batch(prepared, handles, timers)
+        per_group = diag.pop("_per_group", None)
+        if per_group:
+            # single-batch API: scalar diagnostics for the one group
+            diag.update({k: (v[0] if len(v) == 1 else v)
+                         for k, v in per_group.items()})
         return road, cluster, diag, timers
 
     def process_dataset(self, dataset, start_index: int = 0,
@@ -435,19 +454,30 @@ class LabelGeneratorBase:
                 if not all(_name(dataset, "image_name", idx) in skip_done
                            for idx in range(i, j))]
 
+        # Fuse up to groups_per_dispatch consecutive clustering batches
+        # into one device dispatch (per-group semantics and the seed
+        # stream match G separate dispatches exactly).  Parity init
+        # stays one group per dispatch: its host-side seed-1111 init
+        # consumes the reference's sequential RNG stream per batch.
+        groups = max(1, cfg.groups_per_dispatch)
+        if cfg.kmeans.init == "reference":
+            groups = 1
+        units = [slices[x:x + groups]
+                 for x in range(0, len(slices), groups)]
+
         # Software pipeline, two overlapping windows:
-        #   * `prefetch` batches of HOST lookahead (decode, superpixels,
+        #   * `prefetch` units of HOST lookahead (decode, superpixels,
         #     uploads) on the producer thread;
-        #   * `in_flight` batches of DEVICE lookahead: dispatch batch
-        #     N+1's programs before blocking on batch N's results, so the
-        #     per-batch fetch round-trip (the retry predicate + scores)
+        #   * `in_flight` units of DEVICE lookahead: dispatch unit N+1's
+        #     programs before blocking on unit N's results, so the
+        #     per-unit fetch round-trip (the retry predicate + scores)
         #     never leaves the device channel idle.
         records = []
         from collections import deque
 
         pending = deque()
-        for item in self._prefetched(dataset, slices, prefetch):
-            handles = self.dispatch_batch(item[5], item[6])
+        for item in self._prefetched(dataset, units, prefetch):
+            handles = self.dispatch_batch(item[4], item[5])
             pending.append((item, handles))
             if len(pending) > self.in_flight:
                 records.extend(self._finish_loaded(
@@ -457,15 +487,18 @@ class LabelGeneratorBase:
                 dataset, *pending.popleft(), save=save, writer=writer))
         return records
 
-    def _load_slice(self, dataset, i, j):
+    def _load_unit(self, dataset, unit):
+        """Load one dispatch unit (a list of clustering-batch slices)."""
+        indices = [idx for (i, j) in unit for idx in range(i, j)]
         timers = StageTimer()
         with timers.stage("load"):
-            imgs, labels = _load_batch(dataset, range(i, j),
+            imgs, labels = _load_batch(dataset, indices,
                                        self.cfg.resize_shape)
-            full_images = (_load_full_images(dataset, range(i, j))
+            full_images = (_load_full_images(dataset, indices)
                            if self.needs_full_images else None)
         prepared = self._host_prepare(imgs, full_images, timers)
-        return (i, j, imgs, labels, full_images, prepared, timers)
+        prepared["n_groups"] = len(unit)
+        return (indices, imgs, labels, full_images, prepared, timers)
 
     def _prefetched(self, dataset, slices, depth):
         """Host-prepare batches up to ``depth`` ahead on one background
@@ -475,13 +508,13 @@ class LabelGeneratorBase:
         hiding it behind the consumer's device waits is the main
         throughput lever."""
         if depth <= 0 or len(slices) <= 1:
-            for i, j in slices:
-                yield self._load_slice(dataset, i, j)
+            for unit in slices:
+                yield self._load_unit(dataset, unit)
             return
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        # ONE producer thread with `depth` batches of lookahead: measured
+        # ONE producer thread with `depth` units of lookahead: measured
         # on the v5e tunnel, concurrent producers contend on the
         # serialized device channel and are strictly slower
         with ThreadPoolExecutor(max_workers=1) as ex:
@@ -490,10 +523,10 @@ class LabelGeneratorBase:
 
             def submit_next():
                 try:
-                    i, j = next(it)
+                    unit = next(it)
                 except StopIteration:
                     return
-                futures.append(ex.submit(self._load_slice, dataset, i, j))
+                futures.append(ex.submit(self._load_unit, dataset, unit))
 
             for _ in range(depth):
                 submit_next()
@@ -504,8 +537,10 @@ class LabelGeneratorBase:
 
     def _finish_loaded(self, dataset, item, handles, *, save, writer):
         cfg = self.cfg
-        i, j, imgs, labels, full_images, prepared, timers = item
+        indices, imgs, labels, full_images, prepared, timers = item
         road, cluster, diag = self.finish_batch(prepared, handles, timers)
+        per_group = diag.pop("_per_group", None)
+        group_size = len(indices) // int(prepared.get("n_groups", 1))
 
         records = []
         if labels is not None:
@@ -527,7 +562,7 @@ class LabelGeneratorBase:
                 confs = [host_confusion(r, l)
                          for r, l in zip(road_np, labels)]
         else:
-            confs = [None] * (j - i)
+            confs = [None] * len(indices)
 
         if save:
             out_hw = (tuple(labels.shape[1:]) if labels is not None
@@ -537,7 +572,7 @@ class LabelGeneratorBase:
             os.makedirs(cfg.out_dir, exist_ok=True)
 
         times = timers.finish()
-        for b, idx in enumerate(range(i, j)):
+        for b, idx in enumerate(indices):
             img_fn = _name(dataset, "image_name", idx)
             rec = {"img_fn": img_fn,
                    "label_fn": _name(dataset, "label_name", idx)}
@@ -546,6 +581,10 @@ class LabelGeneratorBase:
             rec.update(flatten(cfg))
             rec.update(times)
             rec.update(diag)
+            if per_group:
+                gi = min(b // group_size, len(next(iter(
+                    per_group.values()))) - 1)
+                rec.update({k: v[gi] for k, v in per_group.items()})
             records.append(rec)
             if save:
                 base = os.path.splitext(os.path.basename(img_fn))[0]
@@ -578,6 +617,17 @@ class LabelGeneratorBase:
         if writer is not None:
             writer.append_many(records)
         return records
+
+
+def _effective_model_dtype(cfg: LabelGenConfig):
+    """Feature-extractor compute dtype (flax ``dtype=``; None = f32).
+
+    Bit-parity mode (kmeans.init='reference') pins f32 regardless of
+    cfg.model_dtype: its contract is bit-equality with the reference's
+    f32/f64 host math, which bf16 convs cannot honor."""
+    if cfg.kmeans.init == "reference":
+        return None
+    return {"float32": None, "bfloat16": jnp.bfloat16}[cfg.model_dtype]
 
 
 def _fused_superpixels(cfg: LabelGenConfig) -> bool:
@@ -634,10 +684,56 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         return {"imgs_dev": imgs_dev, "sps_dev": sps, "counts": counts,
                 "sps_host": sps_host}
 
+    def _group_cluster(self, fmaps, sps, seeds, k, num_segments):
+        """vmap the align+prior+k-means core over INDEPENDENT clustering
+        groups: seeds is (G,), the flat batch splits into G groups of
+        imgs.shape[0]//G images, and each group runs the reference-exact
+        joint clustering with its own seed — bit-identical to G separate
+        dispatches (the vmapped while_loop masks per-group carries, so
+        every group stops at its own convergence point).
+
+        Amortizes the fixed per-dispatch tax of remote-attached TPUs
+        (~40 ms upload + round trip) over G clustering batches —
+        replaces the reference's one-process-per-GPU fan-out throughput
+        lever (utils/create_val_labels.sh) within a single chip."""
+        cfg = self.cfg
+        g = seeds.shape[0]
+        n = sps.shape[0]
+        b = n // g
+
+        def group(fm, sp, seed):
+            key = jax.random.key(seed)
+            if self.dynamic_k is None:
+                return spalign_cluster(
+                    fm, sp, key, n_anchors=cfg.align.n_anchors,
+                    num_segments=num_segments,
+                    append_pos=cfg.align.append_pos,
+                    k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
+                    prior_params=self._prior_params)
+            return spalign_cluster_dynamic(
+                fm, sp, key, k, n_anchors=cfg.align.n_anchors,
+                num_segments=num_segments,
+                append_pos=cfg.align.append_pos, k_max=self.dynamic_k,
+                n_iter=cfg.kmeans.n_iter,
+                prior_params=self._prior_params)
+
+        road, cluster, assign, res = jax.vmap(group)(
+            fmaps.reshape(g, b, *fmaps.shape[1:]),
+            sps.reshape(g, b, *sps.shape[1:]), seeds)
+        road = road.reshape(n, *road.shape[2:])
+        cluster = cluster.reshape(n, *cluster.shape[2:])
+        assign = assign.reshape(n, assign.shape[-1])
+        # per-GROUP retry predicate: a group is ok when every one of its
+        # images has a non-empty road mask
+        ok = jnp.all(jnp.any(road, axis=(1, 2)).reshape(g, b), axis=1)
+        return road, cluster, assign, res, ok
+
     def _fused_program(self):
         """One jit program: DRN features + align + prior + k-means +
-        painting + the retry predicate — a single dispatch per batch
-        (dispatch round-trips are expensive on remote-attached TPUs)."""
+        painting + the retry predicate — a single dispatch per unit of
+        G independent clustering batches (dispatch round-trips are
+        expensive on remote-attached TPUs; ``seeds`` is (G,) and the
+        group count is derived from shapes, never baked)."""
         if self._fused is not None:
             return self._fused
         cfg = self.cfg
@@ -651,65 +747,33 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                                     spcfg.n_slic_segments)
 
             @jax.jit
-            def fused_all(imgs, seed, k):
+            def fused_all(imgs, seeds, k):
                 # images -> SLIC -> DRN -> align -> prior -> k-means ->
                 # masks, ONE device program: the only upload is the
                 # uint8 batch, the only downloads are masks + scalars
-                key = jax.random.key(seed)
                 sps = jax.vmap(lambda im: slic(
                     im, n_segments=spcfg.n_slic_segments,
                     compactness=spcfg.slic_compactness,
                     n_iter=spcfg.slic_iters))(imgs)
                 fmaps = feature_fn(imgs)
-                if self.dynamic_k is None:
-                    road, cluster, assign, res = spalign_cluster(
-                        fmaps, sps, key,
-                        n_anchors=cfg.align.n_anchors,
-                        num_segments=s_grid,
-                        append_pos=cfg.align.append_pos,
-                        k=cfg.kmeans.n_clusters,
-                        n_iter=cfg.kmeans.n_iter,
-                        prior_params=self._prior_params)
-                else:
-                    road, cluster, assign, res = spalign_cluster_dynamic(
-                        fmaps, sps, key, k,
-                        n_anchors=cfg.align.n_anchors,
-                        num_segments=s_grid,
-                        append_pos=cfg.align.append_pos,
-                        k_max=self.dynamic_k, n_iter=cfg.kmeans.n_iter,
-                        prior_params=self._prior_params)
-                all_have_road = jnp.all(jnp.any(road, axis=(1, 2)))
+                road, cluster, assign, res, ok = self._group_cluster(
+                    fmaps, sps, seeds, k, s_grid)
                 return (road, pack_mask_bits(road), cluster, assign, res,
-                        all_have_road)
+                        ok)
 
             self._fused = fused_all
             return fused_all
         s = cfg.superpixel.max_superpixels
 
         @jax.jit
-        def program(imgs, sps, seed, k):
-            # the key is derived ON DEVICE from a host integer seed — a
-            # plain scalar rides the dispatch, where a device-side
+        def program(imgs, sps, seeds, k):
+            # keys derive ON DEVICE from host integer seeds — plain
+            # scalars ride the dispatch, where a device-side
             # jax.random.split would cost a round trip per batch
-            key = jax.random.key(seed)
             fmaps = feature_fn(imgs)
-            if self.dynamic_k is None:
-                road, cluster, assign, res = spalign_cluster(
-                    fmaps, sps, key,
-                    n_anchors=cfg.align.n_anchors, num_segments=s,
-                    append_pos=cfg.align.append_pos,
-                    k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
-                    prior_params=self._prior_params)
-            else:
-                road, cluster, assign, res = spalign_cluster_dynamic(
-                    fmaps, sps, key, k,
-                    n_anchors=cfg.align.n_anchors, num_segments=s,
-                    append_pos=cfg.align.append_pos, k_max=self.dynamic_k,
-                    n_iter=cfg.kmeans.n_iter,
-                    prior_params=self._prior_params)
-            all_have_road = jnp.all(jnp.any(road, axis=(1, 2)))
-            return (road, pack_mask_bits(road), cluster, assign, res,
-                    all_have_road)
+            road, cluster, assign, res, ok = self._group_cluster(
+                fmaps, sps, seeds, k, s)
+            return (road, pack_mask_bits(road), cluster, assign, res, ok)
 
         self._fused = program
         return program
@@ -717,41 +781,29 @@ class SpalignLabelGenerator(LabelGeneratorBase):
     def dispatch_batch(self, prepared, timers) -> dict:
         if self.cfg.kmeans.init == "reference":
             return self._dispatch_parity(prepared, timers)
+        seeds = self._unit_seeds(prepared)
         if "sps_dev" not in prepared:  # fused-superpixel fast path
             road, packed, cluster, assign, res, ok = self._fused_program()(
-                prepared["imgs_dev"], self._next_seed(),
+                prepared["imgs_dev"], seeds,
                 np.int32(self.cfg.kmeans.n_clusters))
         else:
             road, packed, cluster, assign, res, ok = self._fused_program()(
                 prepared["imgs_dev"], prepared["sps_dev"],
-                self._next_seed(), np.int32(self.cfg.kmeans.n_clusters))
+                seeds, np.int32(self.cfg.kmeans.n_clusters))
         return {"road": road, "road_packed": packed, "cluster": cluster,
                 "assign": assign, "res": res, "ok": ok}
 
     def _parity_programs(self):
-        """Bit-parity mode splits the fused program in two around the
-        host-side init: (A) features + align, (B) Lloyd from an explicit
-        initial assignment + painting.  The anchor key derivation in A
-        matches spalign_cluster's, so device and parity modes sample the
-        same anchors for the same seed."""
+        """Bit-parity mode keeps only the Lloyd loop + painting on
+        device: features come from ``self.features``, and the anchor
+        sampling/align runs on the HOST as an exact replay of the
+        reference's python-``random``-seeded per-superpixel shuffle
+        (ops/parity.py reference_superpixel_align) — full-stream bit
+        parity from raw images, anchors included."""
         if getattr(self, "_parity", None) is not None:
             return self._parity
         cfg = self.cfg
-        feature_fn = build_feature_fn(self.model, self.variables,
-                                      cfg.use_feature_maps)
         s = cfg.superpixel.max_superpixels
-
-        @jax.jit
-        def stage_a(imgs, sps, seed):
-            sps = sps.astype(jnp.int32)
-            k_align, _ = jax.random.split(jax.random.key(seed))
-            align_keys = jax.random.split(k_align, sps.shape[0])
-            fmaps = feature_fn(imgs)
-            return jax.vmap(
-                lambda fm, sp, kk: superpixel_align(
-                    fm, sp, kk, cfg.align.n_anchors, s,
-                    cfg.align.append_pos)
-            )(fmaps, sps, align_keys)  # (B,S,C'), (B,S)
 
         @jax.jit
         def stage_b(sps, feats, prior, valid, assign0):
@@ -769,36 +821,65 @@ class SpalignLabelGenerator(LabelGeneratorBase):
             ok = jnp.all(jnp.any(road, axis=(1, 2)))
             return road, cluster, assign, res, ok
 
-        self._parity = (stage_a, stage_b)
+        self._parity = stage_b
         return self._parity
 
     def _dispatch_parity(self, prepared, timers) -> dict:
-        """Reference-RNG pipeline: device align, float64 host prior +
-        exact seed-1111 init (ops/parity.py), device Lloyd.  The host
-        round trip makes this a fidelity mode, not the fast path."""
+        """Reference-RNG pipeline, full-stream: device DRN features ->
+        HOST anchor shuffle + align replaying the reference's
+        python-``random`` seed-1111 stream -> float64 host prior + exact
+        numpy-seed-1111 init -> device Lloyd + painting.  Every random
+        draw of the reference (batch_spalign_kmeans.py:33-35 seeds;
+        consumers :232 anchors, :148 init) is replayed bit-for-bit.  The
+        host round trips make this a fidelity mode, not the fast path.
+
+        The align/prior stage is cached in ``prepared``: a degenerate-
+        clustering retry re-runs ONLY the init + Lloyd (the reference's
+        retry re-calls weighted_kmeans, which redraws the numpy init
+        stream but never the anchor stream, :201-205)."""
         from spalign_tpu.ops.parity import (reference_seed_assignment,
+                                            reference_superpixel_align,
                                             superpixel_prior_host)
 
         cfg = self.cfg
         s = cfg.superpixel.max_superpixels
-        stage_a, stage_b = self._parity_programs()
-        feats, valid = stage_a(prepared["imgs_dev"], prepared["sps_dev"],
-                               self._next_seed())
+        stage_b = self._parity_programs()
         counts = prepared["counts"]
-        p = cfg.prior
-        with timers.stage("prior"):
-            compact = [superpixel_prior_host(
-                prepared["sps_host"][i], p.y_rel_pos, p.x_rel_pos,
-                p.y_rel_sigma, p.x_rel_sigma)
-                for i in range(len(counts))]
+        b = len(counts)
+        if "parity_feats" not in prepared:
+            fmaps = np.asarray(self.features(prepared["imgs_dev"]),
+                               np.float32)
+            with timers.stage("align"):
+                compact_feats = [reference_superpixel_align(
+                    fmaps[i], prepared["sps_host"][i], self._parity_pyrng,
+                    n_select=cfg.align.n_anchors,
+                    n_neighbor=cfg.align.n_neighbors,
+                    append_pos=cfg.align.append_pos) for i in range(b)]
+            p = cfg.prior
+            with timers.stage("prior"):
+                compact_prior = [superpixel_prior_host(
+                    prepared["sps_host"][i], p.y_rel_pos, p.x_rel_pos,
+                    p.y_rel_sigma, p.x_rel_sigma) for i in range(b)]
+            c = compact_feats[0].shape[1]
+            feats = np.zeros((b, s, c), np.float32)
+            prior = np.zeros((b, s), np.float32)
+            valid = np.zeros((b, s), bool)
+            for i, n_i in enumerate(counts):
+                feats[i, :n_i] = compact_feats[i]
+                prior[i, :n_i] = compact_prior[i]
+                valid[i, :n_i] = True
+            prepared["parity_feats"] = feats
+            prepared["parity_prior"] = (prior, compact_prior)
+            prepared["parity_valid"] = valid
+        feats = prepared["parity_feats"]
+        prior, compact_prior = prepared["parity_prior"]
+        valid = prepared["parity_valid"]
         a_cat = reference_seed_assignment(
-            np.concatenate(compact), cfg.kmeans.n_clusters,
+            np.concatenate(compact_prior), cfg.kmeans.n_clusters,
             self._parity_rng)
-        prior = np.zeros((len(counts), s), np.float32)
-        assign0 = np.full((len(counts), s), -1, np.int32)
+        assign0 = np.full((b, s), -1, np.int32)
         o = 0
         for i, n_i in enumerate(counts):
-            prior[i, :n_i] = compact[i]
             assign0[i, :n_i] = a_cat[o:o + n_i]
             o += int(n_i)
         road, cluster, assign, res, ok = stage_b(
@@ -819,17 +900,26 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                 n_it, conv, empty, ok_np = jax.device_get(
                     (res.n_iter, res.converged, res.empty_stop,
                      handles["ok"]))
-                if bool(ok_np) or attempt + 1 >= max(
+                if bool(np.all(ok_np)) or attempt + 1 >= max(
                         1, cfg.kmeans.max_retries):
                     break
                 # update IN PLACE: the caller holds this dict and reads
-                # e.g. road_packed from it after we return
+                # e.g. road_packed from it after we return.  Degenerate
+                # clustering is rare, so the whole unit re-runs (every
+                # group gets a fresh seed).
                 handles.update(self.dispatch_batch(prepared, timers))
         diag = {
-            "kmeans_iters": int(n_it),
-            "kmeans_converged": bool(conv),
-            "kmeans_empty_stop": bool(empty),
             "n_superpixels": prepared["counts"].tolist(),
+            # per-GROUP diagnostics: scalars when the unit holds one
+            # clustering group (the single-dispatch shape), lists
+            # otherwise; _finish_loaded distributes them per image
+            "_per_group": {
+                "kmeans_iters": np.atleast_1d(n_it).astype(int).tolist(),
+                "kmeans_converged": np.atleast_1d(conv).astype(
+                    bool).tolist(),
+                "kmeans_empty_stop": np.atleast_1d(empty).astype(
+                    bool).tolist(),
+            },
         }
         return handles["road"], handles["cluster"], diag
 

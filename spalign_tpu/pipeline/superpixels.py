@@ -37,6 +37,17 @@ def _batched_slic(n_segments: int, compactness: float, n_iter: int,
         n_iter=n_iter).astype(jnp.uint8 if narrow else jnp.int32)))
 
 
+@_lru_cache(maxsize=None)
+def batched_slic_device(n_segments: int, compactness: float,
+                        n_iter: int):
+    """Device-resident variant: int32 label maps that STAY on device
+    (consumers like the overlaps refine never need them on host, so no
+    downlink at all)."""
+    return jax.jit(jax.vmap(lambda im: slic(
+        im, n_segments=n_segments, compactness=compactness,
+        n_iter=n_iter)))
+
+
 def _felzenszwalb_batch(images_hwc: np.ndarray, cfg: SuperpixelConfig,
                         workers: int = 8):
     def one(img):

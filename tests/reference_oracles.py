@@ -54,6 +54,58 @@ def bilinear_at_np(feature_map_chw, py, px):
     return fp / ((max_x - min_x) * (max_y - min_y))
 
 
+def superpixel_align_np(feature_map_chw, superpixels, n_select=10,
+                        n_neighbor=4, append_pos=True):
+    """Transcription of the reference's superpixel_align
+    (batch_spalign_kmeans.py:210-276), CHW layout like the original,
+    consuming the MODULE-GLOBAL python ``random`` stream like the
+    original (callers random.seed(1111) first).  Includes the literal
+    argsort-of-distances neighbor rule — for clipped anchor points it
+    differs from the closed-form 2x2 cell (bilinear_at_np), and its
+    quicksort tie order IS the reference's behavior."""
+    import random
+
+    c, fh, fw = feature_map_chw.shape
+    ratio = float(fh) / superpixels.shape[0]
+    yy, xx = np.meshgrid(np.arange(fh), np.arange(fw))
+    flat_coords = (np.stack([yy, xx]).transpose(1, 2, 0)
+                   + 0.5).reshape(-1, 2)
+    out = []
+    for idx in np.sort(np.unique(superpixels)):
+        mask = superpixels == idx
+        centroid = center_of_mass_np(mask) if append_pos else None
+        y, x = np.where(mask)
+        coords = list(zip(y.tolist(), x.tolist()))
+        random.shuffle(coords)
+        pts = np.asarray(coords, dtype=np.float64)[:n_select]
+        pts = pts * ratio + 0.5
+        pts[:, 0] = np.clip(pts[:, 0], 0, fh - 1 + 0.5)
+        pts[:, 1] = np.clip(pts[:, 1], 0, fw - 1 + 0.5)
+        sp_feats = []
+        for p in pts:
+            py, px = p
+            d = np.sqrt(((flat_coords - p[None, :]) ** 2).sum(axis=1))
+            nb = flat_coords[np.argsort(d)[:n_neighbor]]
+            (min_y, min_x), (max_y, max_x) = nb.min(0), nb.max(0)
+            assert max_x > min_x and max_y > min_y
+            f11 = feature_map_chw[:, int(min_y), int(min_x)]
+            f12 = feature_map_chw[:, int(max_y), int(min_x)]
+            f21 = feature_map_chw[:, int(min_y), int(max_x)]
+            f22 = feature_map_chw[:, int(max_y), int(max_x)]
+            fp = ((max_x - px) * (max_y - py) * f11
+                  + (max_x - px) * (py - min_y) * f12
+                  + (px - min_x) * (max_y - py) * f21
+                  + (px - min_x) * (py - min_y) * f22)
+            # the reference multiplies by the reciprocal (:266); a
+            # true divide can differ in the last ulp
+            fp = 1.0 / ((max_x - min_x) * (max_y - min_y)) * fp
+            if append_pos:
+                fp = np.hstack([fp, np.array(centroid)])
+            sp_feats.append(fp)
+        out.append(np.mean(np.stack(sp_feats), axis=0))
+    return np.stack(out)
+
+
 def weighted_kmeans_np(X, weights, k, seed_assign, n_iter=1000):
     """Lloyd loop with the reference's update rules
     (batch_spalign_kmeans.py:150-183), given an explicit initial

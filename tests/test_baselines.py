@@ -102,6 +102,46 @@ class TestBaselineGenerators:
             assert "road_iou" in r
             assert "time_refine" in r and "time_superpixel" in r
 
+    def test_overlaps_device_slic_frontend(self, tmp_path):
+        """slic + no-connectivity runs full-res superpixels ON DEVICE
+        (label maps never reach the host) and downloads masks packed;
+        masks must be unions of that device SLIC segmentation and the
+        packed downlink must be lossless."""
+        from spalign_tpu.pipeline.label_gen import (StageTimer,
+                                                    unpack_mask_bits)
+        from spalign_tpu.pipeline.superpixels import batched_slic_device
+
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=3, max_superpixels=256,
+                              slic_enforce_connectivity=False)
+        cfg = LabelGenConfig(mode="overlaps", batchsize=2,
+                             resize_shape=(112, 112), superpixel=sp,
+                             out_dir=str(tmp_path), save_masks=False)
+        ds = SyntheticRoadScenes(n=2, full_shape=(128, 256), seed=31)
+        gen = make_label_generator(cfg, seed=5)
+        imgs, _ = ds.resized_batch(range(2), (112, 112))
+        full = np.stack([ds[i][0] for i in range(2)])
+
+        timers = StageTimer()
+        prepared = gen._host_prepare(imgs, full, timers)
+        prepared["n_groups"] = 1
+        assert hasattr(prepared["full_sps"], "devices")  # stayed on device
+        handles = gen.dispatch_batch(prepared, timers)
+        road, _, _ = gen.finish_batch(prepared, handles, timers)
+        road = np.asarray(road)
+        assert road.shape == (2, 128, 256)
+        # packed downlink is lossless
+        np.testing.assert_array_equal(
+            unpack_mask_bits(np.asarray(handles["road_packed"]), 256),
+            road)
+        # masks are unions of the device SLIC segmentation
+        sps = np.asarray(batched_slic_device(
+            40, sp.slic_compactness, 3)(jnp.asarray(full)))
+        for b in range(2):
+            for s in np.unique(sps[b]):
+                vals = road[b][sps[b] == s]
+                assert vals.all() or not vals.any()
+
     def test_overlaps_masks_respect_superpixels(self, tmp_path):
         """Refined masks must be unions of full-res superpixels."""
         from spalign_tpu.pipeline.superpixels import compute_superpixels

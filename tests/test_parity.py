@@ -1,15 +1,11 @@
-"""Bit-parity tests: the reference's exact RNG stream and an end-to-end
-mask-level bit-compare of the fused pipeline against a pure-numpy
-reference-semantics pipeline (BASELINE.json: "bit-comparable at the mask
-level").
-
-Anchor sampling is a Monte-Carlo estimator whose stream the reference
-draws from the same process-global RNG as image decoding order — the
-meaningful parity surface is everything downstream of the aligned
-features: prior, k-means init, Lloyd loop, painting, upsampling.  Both
-pipelines here therefore consume identical aligned features and are
-compared bit-level from there.
+"""Bit-parity tests: the reference's exact RNG streams (python anchors +
+numpy init) and an end-to-end mask-level bit-compare of the parity-mode
+pipeline against a pure-numpy reference-semantics pipeline, FROM RAW
+IMAGES — no stage output is shared between the two sides; the only
+common input is the deterministic DRN feature map.
 """
+
+import random
 
 import numpy as np
 import pytest
@@ -18,11 +14,14 @@ from spalign_tpu.config import (KMeansConfig, LabelGenConfig,
                                 SuperpixelConfig)
 from spalign_tpu.data.synthetic import SyntheticRoadScenes
 from spalign_tpu.ops.parity import (reference_seed_assignment,
+                                    reference_superpixel_align,
                                     superpixel_prior_host)
 from spalign_tpu.pipeline.label_gen import SpalignLabelGenerator
 from spalign_tpu.utils.timers import StageTimer
 
-from tests.reference_oracles import superpixel_prior_np, weighted_kmeans_np
+from tests.reference_oracles import (superpixel_align_np,
+                                     superpixel_prior_np,
+                                     weighted_kmeans_np)
 
 
 def _reference_init_literal(weights, k):
@@ -69,6 +68,32 @@ class TestReferenceInitStream:
         assert counts[0] == 0
         assert counts[1:].max() - counts[1:].min() <= 1
 
+    def test_anchor_stream_replay_bitequal(self):
+        """reference_superpixel_align must replay the python seed-1111
+        anchor stream bit-for-bit, including ACROSS images (the
+        reference seeds the module once per process,
+        batch_spalign_kmeans.py:33 + :232)."""
+        r = np.random.RandomState(5)
+        fm1 = r.rand(7, 9, 5).astype(np.float32)
+        fm2 = r.rand(7, 9, 5).astype(np.float32)
+        ys, xs = np.mgrid[0:28, 0:36]
+        sps = ((ys // 7) * 3 + xs // 12).astype(np.int32)
+
+        pyrng = random.Random(1111)
+        got1 = reference_superpixel_align(fm1, sps, pyrng, n_select=5,
+                                          append_pos=True)
+        got2 = reference_superpixel_align(fm2, sps, pyrng, n_select=5,
+                                          append_pos=True)
+
+        random.seed(1111)
+        want1 = superpixel_align_np(fm1.transpose(2, 0, 1), sps,
+                                    n_select=5, append_pos=True)
+        want2 = superpixel_align_np(fm2.transpose(2, 0, 1), sps,
+                                    n_select=5, append_pos=True)
+        np.testing.assert_array_equal(got1, want1)
+        np.testing.assert_array_equal(got2, want2)
+        assert got1.shape == (12, 7)  # C + (y, x) centroid
+
     def test_host_prior_matches_oracle(self):
         sps = np.repeat(np.arange(16).reshape(4, 4), 8, axis=0)
         sps = np.repeat(sps, 8, axis=1)  # (32, 32), 16 superpixels
@@ -85,9 +110,12 @@ class TestMaskBitParity:
         ("slic", dict(n_slic_segments=50, slic_iters=4)),
     ])
     def test_full_pipeline_masks_bitequal(self, method, sp_kw):
-        """End-to-end golden test: the parity-mode fused pipeline's
-        road/cluster maps == a pure-numpy reference-semantics pipeline
-        (prior -> seed-1111 init -> Lloyd -> painting), np.array_equal."""
+        """End-to-end golden test FROM RAW IMAGES: the parity-mode
+        pipeline's road/cluster maps == a pure-numpy reference-semantics
+        pipeline (seed-1111 python anchor shuffle -> align -> prior ->
+        seed-1111 numpy init -> Lloyd -> painting), np.array_equal.  No
+        stage output is shared — the oracle side re-derives anchors,
+        aligned features, prior, and init itself."""
         batch, hw = 4, (112, 112)
         cfg = LabelGenConfig(
             batchsize=batch, resize_shape=hw,
@@ -105,19 +133,21 @@ class TestMaskBitParity:
         assert not diag["kmeans_empty_stop"]  # no retry consumed the rng
 
         # --- independent numpy reference-semantics pipeline ---
-        # identical aligned features (shared Monte-Carlo anchors): replay
-        # stage A with the generator's first seed on a fresh generator
+        # the ONLY shared input: the deterministic DRN feature map (no
+        # RNG is involved in computing it)
         gen2 = SpalignLabelGenerator(cfg)
         prepared = gen2._host_prepare(imgs, None, StageTimer())
-        seed0 = np.uint32(np.random.RandomState(1111).randint(0, 2 ** 31))
-        feats, valid = gen2._parity_programs()[0](
-            prepared["imgs_dev"], prepared["sps_dev"], seed0)
-        feats = np.asarray(feats)
+        fmaps = np.asarray(gen2.features(prepared["imgs_dev"]),
+                           np.float32)
         sps = prepared["sps_host"]
         counts = prepared["counts"]
 
-        X = np.concatenate([feats[i, :counts[i]]
-                            for i in range(batch)]).astype(np.float32)
+        random.seed(1111)  # the reference's module-global python seed
+        X = np.concatenate([
+            superpixel_align_np(fmaps[i].transpose(2, 0, 1), sps[i],
+                                n_select=cfg.align.n_anchors,
+                                append_pos=cfg.align.append_pos)
+            for i in range(batch)]).astype(np.float32)
         weights = np.concatenate(
             [superpixel_prior_np(sps[i]) for i in range(batch)])
         np.random.seed(1111)

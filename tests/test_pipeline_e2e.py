@@ -138,6 +138,42 @@ class TestNoLabelMode:
 
 
 class TestBF16:
+    def test_quality_gate_f32_vs_bf16(self):
+        """The gate behind LabelGenConfig.model_dtype='bfloat16' by
+        default: mean Road IoU on the synthetic scenes must stay within
+        run noise of f32 (same weights, same seeds)."""
+        import dataclasses
+
+        ds = SyntheticRoadScenes(n=6, full_shape=(256, 512), seed=31)
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False)
+        base = LabelGenConfig(batchsize=3, resize_shape=(112, 112),
+                              superpixel=sp, save_masks=False)
+        ious = {}
+        for dt in ("float32", "bfloat16"):
+            cfg = dataclasses.replace(base, model_dtype=dt)
+            gen = SpalignLabelGenerator(cfg, seed=4)
+            recs = gen.process_dataset(ds, save=False)
+            ious[dt] = float(np.mean([r["road_iou"] for r in recs]))
+        assert abs(ious["float32"] - ious["bfloat16"]) < 0.1, ious
+
+    def test_parity_init_pins_float32(self):
+        """Bit-parity mode must ignore the bf16 default (its contract is
+        bit-equality with the reference's host math)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=3, max_superpixels=128)
+        cfg = LabelGenConfig(batchsize=2, resize_shape=(112, 112),
+                             superpixel=sp, save_masks=False,
+                             model_dtype="bfloat16",
+                             kmeans=KMeansConfig(init="reference"))
+        gen = SpalignLabelGenerator(cfg)
+        assert gen.model.dtype in (None, jnp.float32)
+
     def test_bfloat16_feature_path(self, tmp_path):
         cfg = LabelGenConfig(
             batchsize=2, resize_shape=(112, 112),
@@ -259,7 +295,8 @@ class TestFusedSuperpixels:
         ).StageTimer())
         assert "sps_dev" not in prepared  # no host superpixel work
         road, _packed, cluster, assign, res, ok = gen._fused_program()(
-            prepared["imgs_dev"], seed, np.int32(4))
+            prepared["imgs_dev"], np.asarray([seed], np.uint32),
+            np.int32(4))
 
         # manual two-step with the same seed
         sps = jax.vmap(lambda im: slic(
@@ -420,8 +457,70 @@ class TestReconfigureInvalidation:
         import jax.numpy as jnp
 
         gen, cfg = self._gen()
+        assert gen.model.dtype == jnp.bfloat16  # the default dtype
+        f32 = dataclasses.replace(cfg, model_dtype="float32")
+        gen.reconfigure(f32)
         assert gen.model.dtype in (None, jnp.float32)
-        gen.reconfigure(dataclasses.replace(cfg, model_dtype="bfloat16"))
-        assert gen.model.dtype == jnp.bfloat16
         gen.reconfigure(cfg)
-        assert gen.model.dtype in (None, jnp.float32)
+        assert gen.model.dtype == jnp.bfloat16
+
+
+class TestMultiGroupDispatch:
+    """groups_per_dispatch fuses G independent clustering batches into
+    one device program; per-group semantics and the seed stream must be
+    bit-identical to G single-group dispatches."""
+
+    def _cfg(self, groups, **kw):
+        import dataclasses
+
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False)
+        return LabelGenConfig(batchsize=2, resize_shape=(112, 112),
+                              superpixel=sp, save_masks=False,
+                              groups_per_dispatch=groups, **kw)
+
+    def test_grouped_equals_single_fused_slic(self):
+        ds = SyntheticRoadScenes(n=8, full_shape=(256, 512), seed=11)
+        recs = {}
+        for g in (1, 3):  # 3 does not divide 4 slices -> ragged tail unit
+            gen = SpalignLabelGenerator(self._cfg(g), seed=42)
+            recs[g] = gen.process_dataset(ds, save=False)
+        assert len(recs[1]) == len(recs[3]) == 8
+        for r1, rg in zip(recs[1], recs[3]):
+            assert r1["img_fn"] == rg["img_fn"]
+            for k in ("TP", "FP", "FN", "road_iou", "kmeans_iters",
+                      "kmeans_converged"):
+                assert r1[k] == rg[k], (k, r1[k], rg[k])
+
+    def test_grouped_equals_single_host_superpixels(self):
+        """The non-fused program (host superpixel maps) takes the same
+        multi-group path."""
+        import dataclasses
+
+        ds = SyntheticRoadScenes(n=4, full_shape=(256, 512), seed=13)
+        recs = {}
+        for g in (1, 2):
+            cfg = self._cfg(g)
+            cfg = dataclasses.replace(cfg, superpixel=dataclasses.replace(
+                cfg.superpixel, slic_enforce_connectivity=True))
+            gen = SpalignLabelGenerator(cfg, seed=7)
+            recs[g] = gen.process_dataset(ds, save=False)
+        for r1, rg in zip(recs[1], recs[2]):
+            for k in ("TP", "FP", "FN", "kmeans_iters"):
+                assert r1[k] == rg[k], (k, r1[k], rg[k])
+
+    def test_grouped_equals_single_direct_mode(self):
+        from spalign_tpu.pipeline.direct import make_label_generator
+
+        ds = SyntheticRoadScenes(n=4, full_shape=(256, 512), seed=17)
+        recs = {}
+        for g in (1, 2):
+            cfg = LabelGenConfig(mode="direct", batchsize=2,
+                                 resize_shape=(112, 112), save_masks=False,
+                                 groups_per_dispatch=g)
+            gen = make_label_generator(cfg, seed=3)
+            recs[g] = gen.process_dataset(ds, save=False)
+        for r1, rg in zip(recs[1], recs[2]):
+            for k in ("TP", "FP", "FN", "kmeans_iters"):
+                assert r1[k] == rg[k], (k, r1[k], rg[k])
