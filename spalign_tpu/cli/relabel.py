@@ -28,6 +28,10 @@ def get_args(argv=None):
     p.add_argument("--save_panels", action="store_true", default=False,
                    help="write the 1x3 overlay/GT/prediction panel per "
                         "image (reference labels_from_segnet.py:97-119)")
+    p.add_argument("--save_each", action="store_true", default=False,
+                   help="per-image .npy outputs in out_dir instead of "
+                        "one zip (reference run_train_rounds.py:36; its "
+                        "pred-as-scores bug is NOT reproduced)")
     return p.parse_args(argv)
 
 
@@ -59,8 +63,9 @@ def main(argv=None):
         eval_shape=tuple(args.eval_shape), batch_size=args.batchsize,
         soft_label=args.soft_label, out_dir=args.out_dir,
         score_dtype=getattr(np, args.score_dtype),
-        save_panels=args.save_panels)
-    print(f"wrote {len(records)} predictions to {out_zip}")
+        save_panels=args.save_panels, save_each=args.save_each)
+    print(f"wrote {len(records)} predictions to "
+          f"{args.out_dir if args.save_each else out_zip}")
 
 
 if __name__ == "__main__":

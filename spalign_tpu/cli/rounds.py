@@ -39,6 +39,19 @@ def get_args(argv=None):
                    choices=["float32", "bfloat16"],
                    help="bfloat16 runs the students' convs/BN on the "
                         "MXU in half precision (f32 params)")
+    p.add_argument("--score_dtype", default="float16",
+                   choices=["float32", "float16"],
+                   help="downlink + on-disk dtype for soft relabel "
+                        "scores (reference writes float32)")
+    p.add_argument("--resume_round", type=int, default=1,
+                   help="restart self-training at this round (reference "
+                        "run_train_rounds.py:40-45); needs "
+                        "--first_result_dir")
+    p.add_argument("--first_result_dir", type=str, default=None,
+                   help="completed result dir of round resume_round-1")
+    p.add_argument("--out_zip_fn", type=str, default=None,
+                   help="that round's relabel zip (default: the "
+                        "standard name inside first_result_dir)")
     return p.parse_args(argv)
 
 
@@ -57,7 +70,8 @@ def main(argv=None):
         val_iteration=args.val_iteration, loss=loss, augment=args.random,
         test_mode=args.test_mode, batchsize=args.batchsize,
         result_base_dir=args.result_base_dir,
-        eval_shape=tuple(args.eval_shape))
+        eval_shape=tuple(args.eval_shape),
+        score_dtype=args.score_dtype)
     tcfg = TrainConfig(model="basic", optimizer="Adam",
                        input_shape=tuple(args.input_shape),
                        eval_shape=tuple(args.eval_shape),
@@ -109,7 +123,10 @@ def main(argv=None):
     driver = RoundsDriver(cfg, tcfg, make_train_dataset,
                           lambda: RelabelView(),
                           evaluator_factory=evaluator_factory)
-    final_dir, final_zip = driver.run(initial_label_source=None)
+    final_dir, final_zip = driver.run(
+        initial_label_source=None, resume_round=args.resume_round,
+        first_result_dir=args.first_result_dir,
+        label_zip=args.out_zip_fn)
     print(f"rounds complete: result_dir={final_dir} labels={final_zip}")
 
 

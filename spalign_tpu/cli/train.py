@@ -126,8 +126,11 @@ def main(argv=None):
                                        shuffle=False, epochs=1,
                                        drop_last=False))
 
+        # the full-res val pass (resize to eval_shape per batch) is the
+        # expensive part of an iteration — shard it over the trainer's
+        # mesh like the train step
         evaluator = Evaluator(trainer.model, val_batches, cfg.eval_shape,
-                              mesh=None)
+                              mesh=trainer.mesh)
 
     if cfg.resume:
         import jax

@@ -75,12 +75,27 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
                     soft_label: bool = True, mesh=None,
                     out_dir: Optional[str] = None,
                     score_dtype=np.float32,
-                    save_panels: bool = False):
+                    save_panels: bool = False,
+                    save_each: bool = False,
+                    prefetch: int = 2, in_flight: int = 2):
     """Predict labels for every image in ``dataset`` and stream them into
     ``out_zip``.
 
     dataset[i] must return (standardized image at input res, full-res gt
     label in {-1,0,1} or None); dataset.image_name(i) names the outputs.
+
+    Software pipeline (mirrors pipeline.label_gen.process_dataset): ONE
+    producer thread host-prepares ``prefetch`` batches ahead, and up to
+    ``in_flight`` batches are dispatched before the oldest one's results
+    are fetched — the per-batch downlink (the dominant cost for soft
+    labels) overlaps the next batches' decode + device time instead of
+    serializing with them (the reference funnels per-image results
+    through a writer process instead, run_train_rounds.py:191-235).
+
+    Downlink discipline: predictions are bit-packed ON DEVICE (8x
+    smaller than bool; n_class=2 everywhere here) and soft scores are
+    cast to ``score_dtype`` ON DEVICE before the fetch — float16 halves
+    the transfer AND the zip, not just the zip.
 
     save_panels: write the reference's 1x3 diagnostic panel per image
     (overlay / GT / prediction, labels_from_segnet.py:97-119) into
@@ -88,23 +103,45 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
     (the reference reloads it from disk via PIL); panels are skipped with
     a warning when the dataset cannot provide it.
 
+    save_each: per-image .npy files instead of the zip (reference
+    --save_each, run_train_rounds.py:36 + labels_from_segnet.py:90-93),
+    written next to ``out_zip`` (or into ``out_dir``).  NOTE the
+    reference's own save_each writes the PRED array under the _scores
+    name (:93) — a bug deliberately not reproduced: here _scores gets
+    the scores.
+
     Returns the list of per-image eval records (empty metrics when no gt).
     """
-    apply_fn = lambda v, im, train: model.apply(v, im, train=train)
+    from spalign_tpu.pipeline.label_gen import (pack_mask_bits,
+                                                unpack_mask_bits)
 
-    def _predict(v, im):
+    apply_fn = lambda v, im, train: model.apply(v, im, train=train)
+    score_jnp = jnp.dtype(np.dtype(score_dtype))
+
+    def _predict(v, im, gt):
         labels, score = predict_labels(apply_fn, v, im,
                                        pred_shape=eval_shape,
                                        return_score=True)
-        # n_class=2 labels travel the (slow) downlink as uint8 — 4x
-        # smaller than int32, lossless; scoring stays on device anyway
-        return labels.astype(jnp.uint8), score
+        out = {"packed": pack_mask_bits(labels.astype(bool))}
+        if soft_label:
+            # CHW layout + target dtype ON DEVICE: the fetch moves the
+            # final bytes (labels_from_segnet.py:86-95 disk layout)
+            out["score"] = jnp.transpose(score, (0, 3, 1, 2)).astype(
+                score_jnp)
+        if gt is not None:
+            out["conf"] = jax.vmap(
+                lambda p, g: confusion_matrix(p, g, 2))(labels, gt)
+        return out
 
     predict = jax.jit(_predict)
-    conf_fn = jax.jit(lambda p, g: jax.vmap(
-        lambda pp, gg: confusion_matrix(pp, gg, 2))(p, g))
 
-    writer = NpzShardWriter(out_zip)
+    each_dir = None
+    if save_each:
+        each_dir = out_dir or (os.path.dirname(out_zip) or ".")
+        os.makedirs(each_dir, exist_ok=True)
+        writer = None
+    else:
+        writer = NpzShardWriter(out_zip)
     results = ResultWriter(out_dir) if out_dir else None
     if save_panels and not (out_dir and hasattr(dataset, "full_images")):
         import warnings
@@ -114,58 +151,108 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         save_panels = False
     records = []
     n = len(dataset)
-    try:
-        for i in range(0, n, batch_size):
-            idx = list(range(i, min(i + batch_size, n)))
-            # static shapes under jit: pad the tail batch
-            pad = batch_size - len(idx)
-            items = [dataset[j] for j in idx]
-            imgs = np.stack([it[0] for it in items])
+    slices = [(i, min(i + batch_size, n)) for i in range(0, n, batch_size)]
+
+    def load(sl):
+        i, j = sl
+        idx = list(range(i, j))
+        pad = batch_size - len(idx)  # static shapes: pad the tail batch
+        items = [dataset[jj] for jj in idx]
+        imgs = np.stack([it[0] for it in items])
+        if pad:
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+        gts = None
+        if items[0][1] is not None:
+            gts = np.stack([it[1] for it in items])
             if pad:
-                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
-            batch = jnp.asarray(imgs, jnp.float32)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
-            preds, scores = predict(variables, batch)
+                gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
+        return idx, imgs, gts
 
-            gts = None
-            if items[0][1] is not None:
-                gts = np.stack([it[1] for it in items])
-                gt_dev = jnp.asarray(np.concatenate(
-                    [gts, np.repeat(gts[-1:], pad, 0)]) if pad else gts)
-                confs = np.asarray(conf_fn(preds, gt_dev))
+    def dispatch(loaded):
+        idx, imgs, gts = loaded
+        batch = jnp.asarray(imgs, jnp.float32)
+        # gt rides the uplink as int8 ({-1,0,1}; 4x smaller than int32)
+        gt_dev = (jnp.asarray(gts.astype(np.int8))
+                  if gts is not None else None)
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+            if gt_dev is not None:
+                gt_dev = shard_batch(mesh, gt_dev)
+        return predict(variables, batch, gt_dev)
 
-            preds_np = np.asarray(preds, np.int32)
-            scores_np = np.asarray(scores) if soft_label else None
-            for b, j in enumerate(idx):
-                base = os.path.splitext(
-                    os.path.basename(dataset.image_name(j)))[0]
-                writer.put(base, preds_np[b].astype(bool))
+    def finish(loaded, handles):
+        idx, imgs, gts = loaded
+        preds_np = unpack_mask_bits(np.asarray(handles["packed"]),
+                                    eval_shape[1])
+        scores_np = (np.asarray(handles["score"]) if soft_label else None)
+        confs = (np.asarray(handles["conf"]) if "conf" in handles
+                 else None)
+        batch_recs = []
+        for b, j in enumerate(idx):
+            base = os.path.splitext(
+                os.path.basename(dataset.image_name(j)))[0]
+            if save_each:
+                np.save(os.path.join(each_dir, base), preds_np[b])
                 if soft_label:
-                    # CHW float scores, the reference's on-disk layout
-                    # (labels_from_segnet.py:86-95).  Unlike the
-                    # reference (which always writes both), hard-label
-                    # rounds skip the score members — they are never
-                    # read and dominate the zip size.
-                    writer.put(base + "_scores",
-                               scores_np[b].transpose(2, 0, 1).astype(
-                                   score_dtype))
-                rec = {"img_fn": dataset.image_name(j)}
-                if gts is not None:
-                    rec.update(_scores_from_conf(confs[b]))
-                records.append(rec)
-                if save_panels:
-                    from spalign_tpu.utils.viz import save_prediction_panel
+                    np.save(os.path.join(each_dir, base + "_scores"),
+                            scores_np[b])
+            else:
+                writer.put(base, preds_np[b])
+                if soft_label:
+                    # hard-label rounds skip the score members (unlike
+                    # the reference, which always writes both) — they
+                    # are never read and dominate the zip size
+                    writer.put(base + "_scores", scores_np[b])
+            rec = {"img_fn": dataset.image_name(j)}
+            if confs is not None:
+                rec.update(_scores_from_conf(confs[b]))
+            batch_recs.append(rec)
+            if save_panels:
+                from spalign_tpu.utils.viz import save_prediction_panel
 
-                    save_prediction_panel(
-                        out_dir, dataset.image_name(j),
-                        dataset.full_images([j])[0],
-                        preds_np[b].astype(bool),
-                        gts[b] if gts is not None else None)
-            if results:
-                results.append_many(records[-len(idx):])
+                save_prediction_panel(
+                    out_dir, dataset.image_name(j),
+                    dataset.full_images([j])[0],
+                    preds_np[b],
+                    gts[b] if gts is not None else None)
+        records.extend(batch_recs)
+        if results:
+            results.append_many(batch_recs)
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending = deque()
+    try:
+        if prefetch > 0 and len(slices) > 1:
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                futures = deque()
+                it = iter(slices)
+
+                def submit_next():
+                    sl = next(it, None)
+                    if sl is not None:
+                        futures.append(ex.submit(load, sl))
+
+                for _ in range(max(1, prefetch)):
+                    submit_next()
+                while futures:
+                    loaded = futures.popleft().result()
+                    submit_next()
+                    pending.append((loaded, dispatch(loaded)))
+                    if len(pending) > in_flight:
+                        finish(*pending.popleft())
+        else:
+            for sl in slices:
+                loaded = load(sl)
+                pending.append((loaded, dispatch(loaded)))
+                if len(pending) > in_flight:
+                    finish(*pending.popleft())
+        while pending:
+            finish(*pending.popleft())
     finally:
-        writer.close()
+        if writer is not None:
+            writer.close()
     return records
 
 

@@ -52,8 +52,16 @@ class RoundsDriver:
                  make_val_batches: Optional[Callable] = None,
                  evaluator_factory: Optional[Callable] = None):
         if cfg.test_mode:
-            cfg = dataclasses.replace(cfg, iteration=10, val_iteration=10,
-                                      n_round=3)
+            # reference --test_mode also caps the data volumes, not just
+            # the schedule (run_train_rounds.py:56-61: n_use_data=16,
+            # n_labels=16)
+            cfg = dataclasses.replace(
+                cfg, iteration=10, val_iteration=10, n_round=3,
+                n_labels=16 if cfg.n_labels is None else min(
+                    cfg.n_labels, 16))
+            train_cfg = dataclasses.replace(
+                train_cfg, n_use_data=16 if train_cfg.n_use_data is None
+                else min(train_cfg.n_use_data, 16))
         self.cfg = cfg
         self.train_cfg = train_cfg
         self.make_train_dataset = make_train_dataset
@@ -110,27 +118,89 @@ class RoundsDriver:
             result_dir, f"iter-{iteration}_eval-train.0.zip")
         trainer = self._last_trainer
         soft = cfg.loss in ("soft", "mse")
+        import numpy as np
+
+        dataset = self.make_relabel_dataset()
+        if cfg.n_labels is not None:
+            dataset = _Subset(dataset, cfg.n_labels)
         relabel_dataset(
-            trainer.model, trainer.variables(),
-            self.make_relabel_dataset(), out_zip,
+            trainer.model, trainer.variables(), dataset, out_zip,
             eval_shape=cfg.eval_shape, batch_size=cfg.batchsize,
             soft_label=soft, mesh=trainer.mesh,
+            score_dtype=np.dtype(cfg.score_dtype),
             out_dir=os.path.join(result_dir,
                                  f"iter-{iteration}_eval-train"))
         return out_zip
 
-    def run(self, initial_label_source: Optional[str] = None):
+    def _round_zip(self, n_round: int, result_dir: str) -> str:
+        iteration = self.cfg.iteration * n_round
+        return os.path.join(result_dir,
+                            f"iter-{iteration}_eval-train.0.zip")
+
+    def run(self, initial_label_source: Optional[str] = None,
+            resume_round: int = 1,
+            first_result_dir: Optional[str] = None,
+            label_zip: Optional[str] = None):
         """Full self-training: returns (final_result_dir, final_label_zip).
 
         initial_label_source: labels for round 1 (the label-generation
-        output); subsequent rounds consume the previous relabel zip."""
+        output); subsequent rounds consume the previous relabel zip.
+
+        Crash resume (reference --resume_round/--first_result_dir/
+        --out_zip_fn, run_train_rounds.py:40-45,245-276): with
+        ``resume_round`` = N > 1, rounds 1..N-1 are skipped;
+        ``first_result_dir`` is round N-1's completed result dir (its
+        latest snapshot seeds round N's optimizer state) and
+        ``label_zip`` its relabel zip (default: the standard
+        iter-<i>_eval-train.0.zip inside that dir — the reference's
+        out_zip_fn override).  Only disk artifacts are consumed, so a
+        fresh process can resume a crashed run.
+        """
         cfg = self.cfg
-        result_dir = self._train_round(1, initial_label_source)
-        label_zip = self._relabel(1, result_dir)
-        prev_dir = result_dir
-        for n_round in range(2, cfg.n_round + 1):
+        if resume_round <= 1:
+            prev_dir = self._train_round(1, initial_label_source)
+            label_zip = self._relabel(1, prev_dir)
+            start = 2
+        else:
+            if first_result_dir is None:
+                raise ValueError("resume_round > 1 needs "
+                                 "first_result_dir (the completed round "
+                                 f"{resume_round - 1} result dir)")
+            prev_dir = first_result_dir
+            if label_zip is None:
+                label_zip = self._round_zip(resume_round - 1, prev_dir)
+            if not os.path.exists(label_zip):
+                raise FileNotFoundError(
+                    f"resume label zip not found: {label_zip}")
+            self.round_dirs.append(prev_dir)
+            start = resume_round
+        for n_round in range(start, cfg.n_round + 1):
             state = load_snapshot(find_snapshot(prev_dir))
             prev_dir = self._train_round(n_round, label_zip,
                                          resume_state=state)
             label_zip = self._relabel(n_round, prev_dir)
         return prev_dir, label_zip
+
+
+class _Subset:
+    """First-n view of a relabel dataset (reference test_mode's
+    n_labels cap, run_train_rounds.py:56-61)."""
+
+    def __init__(self, dataset, n: int):
+        self._ds = dataset
+        self._n = min(n, len(dataset))
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        return self._ds[i]
+
+    def image_name(self, i):
+        return self._ds.image_name(i)
+
+    def __getattr__(self, name):
+        # forward optional capabilities (e.g. full_images for panels)
+        return getattr(self._ds, name)

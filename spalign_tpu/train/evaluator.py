@@ -28,7 +28,17 @@ def make_eval_step(model, eval_shape, n_class: int = 2):
         if tuple(score.shape[1:3]) != tuple(eval_shape):
             score = bilinear_resize(score, eval_shape, spatial_axes=(1, 2))
         pred = jnp.argmax(score, axis=-1)
-        return confusion_matrix(pred, labels, n_class)
+        # val/main/loss analog (train_segnet.py:291-293 plots it): hard
+        # softmax CE of the full-res score vs gt, ignore label < 0.
+        # Returned as (sum over valid pixels, valid count) so batches of
+        # any size aggregate to the exact dataset-wide mean.
+        logp = jax.nn.log_softmax(score, axis=-1)
+        valid = labels >= 0
+        safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+        return (confusion_matrix(pred, labels, n_class), nll_sum,
+                jnp.sum(valid))
 
     return eval_step
 
@@ -59,11 +69,18 @@ class Evaluator:
 
     def __call__(self, variables) -> dict:
         total = np.zeros((self.n_class, self.n_class), np.int64)
+        nll_sum = 0.0
+        n_valid = 0
         for images, labels in self.batches_fn():
             batch = (jnp.asarray(images, jnp.float32), jnp.asarray(labels))
             if self.mesh is not None and (
                     images.shape[0] % self.mesh.shape["data"] == 0):
                 # ragged tail batches (drop_last=False) run unsharded
                 batch = shard_batch(self.mesh, batch)
-            total += np.asarray(self.eval_step(variables, *batch))
-        return summarize_confusion(total)
+            conf, s, v = self.eval_step(variables, *batch)
+            total += np.asarray(conf)
+            nll_sum += float(s)
+            n_valid += int(v)
+        out = summarize_confusion(total)
+        out["main/loss"] = nll_sum / max(n_valid, 1)
+        return out

@@ -230,7 +230,7 @@ class Trainer:
             return ([p[0] for p in pts], [p[1] for p in pts])
 
         panels = {
-            "loss.png": ["main/loss"],
+            "loss.png": ["main/loss", "val/main/loss"],
             "ious.png": ["val/main/iou/road", "val/main/iou/non_road"],
             "prerec.png": ["val/main/precision", "val/main/recall"],
             "accuracy.png": ["val/main/class_accuracy/road",

@@ -87,6 +87,41 @@ class TestFileList:
         img, lab = d[1]
         assert img.shape == (32, 64, 3) and lab.shape == (64, 128)
 
+    def test_grey_and_alpha_images_normalize_to_3ch(self, tmp_path):
+        """The reference normalizes greyscale and >3-channel inputs
+        (resize_image_dataset.py:25-29); here cv2's IMREAD_COLOR coerces
+        both to 3-channel BGR — this pins that behavior for grey + BGRA
+        PNGs end to end."""
+        ds = SyntheticRoadScenes(n=1, full_shape=(64, 128), seed=9)
+        img, lab = ds[0]
+        grey = cv2.cvtColor(img[:, :, ::-1], cv2.COLOR_BGR2GRAY)
+        bgra = cv2.cvtColor(img[:, :, ::-1], cv2.COLOR_BGR2BGRA)
+        fns = []
+        for name, arr in (("grey", grey), ("bgra", bgra)):
+            fn = str(tmp_path / f"{name}.png")
+            assert cv2.imwrite(fn, arr)
+            fns.append(fn)
+        lf = []
+        for i in range(2):
+            fn = str(tmp_path / f"lab{i}.png")
+            cv2.imwrite(fn, lab)
+            lf.append(fn)
+        il = tmp_path / "imgs.txt"
+        ll = tmp_path / "labels.txt"
+        il.write_text("\n".join(fns) + "\n")
+        ll.write_text("\n".join(lf) + "\n")
+        d = FileListDataset(str(il), str(ll), (32, 64))
+        g, _ = d[0]
+        a, _ = d[1]
+        assert g.shape == (32, 64, 3)
+        # greyscale coerces to replicated channels
+        np.testing.assert_array_equal(g[..., 0], g[..., 1])
+        # alpha is dropped, color preserved
+        assert a.shape == (32, 64, 3)
+        resized = cv2.resize(img, (64, 32),
+                             interpolation=cv2.INTER_CUBIC)
+        np.testing.assert_array_equal(a, resized)
+
 
 class TestEstimated:
     def _setup(self, tmp_path, soft=False):

@@ -188,3 +188,142 @@ def test_n_use_data_subsets_training(tmp_path):
                           lambda: RelabelAdapter(ds))
     driver.run()
     assert seen and max(seen) < 4  # only the first n_use_data indices
+
+
+def test_crash_resume_from_disk_artifacts(tmp_path):
+    """Round-loop crash resume (reference --resume_round/
+    --first_result_dir, run_train_rounds.py:40-45,245-276): run round 1,
+    then resume round 2 with a FRESH driver that sees only the on-disk
+    artifacts."""
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    base = str(tmp_path / "results")
+
+    def make_train_dataset(label_source, use_soft):
+        return EstimatedCityscapesDataset(
+            img_dir, label_source or init_zip, HW,
+            use_soft_label=use_soft)
+
+    def make_driver(n_round):
+        cfg = RoundsConfig(n_round=n_round, iteration=4, val_iteration=4,
+                           batchsize=4, loss="ce", result_base_dir=base,
+                           eval_shape=HW)
+        tcfg = TrainConfig(model="basic", optimizer="Adam",
+                           input_shape=HW, eval_shape=HW, num_devices=4)
+        return RoundsDriver(cfg, tcfg, make_train_dataset,
+                            lambda: RelabelAdapter(ds))
+
+    # "crashed" run: only round 1 completed
+    make_driver(1).run()
+    r1 = os.path.join(base, "train_round1")
+    assert find_snapshot(r1).endswith("snapshot_iter_4")
+
+    # fresh process resumes round 2 from r1's snapshot + relabel zip
+    final_dir, final_zip = make_driver(2).run(
+        resume_round=2, first_result_dir=r1)
+    r2 = os.path.join(base, "train_round2")
+    assert final_dir == r2
+    state = load_snapshot(find_snapshot(r2))
+    assert int(state.step) == 8  # continued from round 1's step 4
+    assert os.path.exists(final_zip)
+
+    # missing artifacts fail loudly, not silently from scratch
+    import pytest
+
+    with pytest.raises(ValueError, match="first_result_dir"):
+        make_driver(2).run(resume_round=2)
+    with pytest.raises(FileNotFoundError):
+        make_driver(2).run(resume_round=2,
+                           first_result_dir=str(tmp_path / "nope"))
+
+
+def test_test_mode_caps_data_volumes():
+    """Reference --test_mode forces n_use_data=16 / n_labels=16 on top
+    of the tiny schedule (run_train_rounds.py:56-61)."""
+    cfg = RoundsConfig(test_mode=True)
+    tcfg = TrainConfig(model="basic")
+    driver = RoundsDriver(cfg, tcfg, lambda *a: None, lambda: None)
+    assert driver.cfg.n_labels == 16
+    assert driver.train_cfg.n_use_data == 16
+    assert driver.cfg.n_round == 3 and driver.cfg.iteration == 10
+
+
+def test_subset_view_caps_relabel():
+    from spalign_tpu.selftrain.rounds import _Subset
+
+    ds = RelabelAdapter(SyntheticRoadScenes(n=N, full_shape=HW, seed=3))
+    sub = _Subset(ds, 3)
+    assert len(sub) == 3
+    assert sub.image_name(1) == ds.image_name(1)
+    np.testing.assert_array_equal(sub[2][1], ds[2][1])
+    import pytest
+
+    with pytest.raises(IndexError):
+        sub[3]
+    # optional capabilities forward (panels need full_images)
+    assert len(sub.full_images([0])) == 1
+
+
+def test_relabel_soft_scores_f16_on_disk_roundtrip(tmp_path):
+    """Soft scores travel the downlink and land on disk as float16 by
+    default; the training dataset must read them back as float32 scores
+    summing to ~1."""
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    adapter = RelabelAdapter(ds)
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, *HW, 3), np.float32))
+    out_zip = str(tmp_path / "soft.0.zip")
+    recs = relabel_dataset(model, variables, adapter, out_zip,
+                           eval_shape=HW, batch_size=3,  # ragged tail
+                           soft_label=True, score_dtype=np.float16)
+    assert len(recs) == N and all("road_iou" in r for r in recs)
+    with np.load(out_zip) as npz:
+        score_keys = [k for k in npz.files if k.endswith("_scores")]
+        assert len(score_keys) == N
+        s = npz[score_keys[0]]
+        assert s.dtype == np.float16 and s.shape == (2, *HW)
+        np.testing.assert_allclose(
+            np.asarray(s, np.float32).sum(0), 1.0, atol=2e-3)
+    train_ds = EstimatedCityscapesDataset(img_dir, out_zip, HW,
+                                          use_soft_label=True)
+    img, soft = train_ds[0]
+    assert soft.dtype == np.float32 and soft.shape == (*HW, 2)
+
+
+def test_relabel_save_each_npy_files(tmp_path):
+    """--save_each writes per-image pred/_scores .npy files instead of a
+    zip (reference run_train_rounds.py:36); the reference's own bug of
+    writing pred under the _scores name (labels_from_segnet.py:93) must
+    NOT be reproduced."""
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    adapter = RelabelAdapter(ds)
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, *HW, 3), np.float32))
+    out_dir = str(tmp_path / "each")
+    recs = relabel_dataset(model, variables, adapter,
+                           str(tmp_path / "unused.0.zip"), eval_shape=HW,
+                           batch_size=4, soft_label=True, out_dir=out_dir,
+                           save_each=True, score_dtype=np.float16)
+    assert len(recs) == N
+    assert not os.path.exists(str(tmp_path / "unused.0.zip"))
+    preds = sorted(glob.glob(os.path.join(out_dir, "*leftImg8bit.npy")))
+    scores = sorted(glob.glob(os.path.join(out_dir, "*_scores.npy")))
+    assert len(preds) == N and len(scores) == N
+    p = np.load(preds[0])
+    s = np.load(scores[0])
+    assert p.dtype == bool and p.shape == HW
+    # scores are SCORES (CHW float), not a second copy of pred
+    assert s.dtype == np.float16 and s.shape == (2, *HW)
+    np.testing.assert_allclose(np.asarray(s, np.float32).sum(0), 1.0,
+                               atol=2e-3)

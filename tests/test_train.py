@@ -201,6 +201,32 @@ class TestEvaluator:
         np.testing.assert_allclose(s["main/precision"], 35 / 45)
         np.testing.assert_allclose(s["main/recall"], 35 / 40)
 
+    def test_val_loss_sharded_equals_unsharded(self, rng):
+        """val/main/loss (train_segnet.py:291-293) is the hard-CE of the
+        full-res score; sharded evaluation must reproduce the unsharded
+        metrics (incl. the loss) and the loss must equal the loss
+        function applied to the same score by hand."""
+        from spalign_tpu.train.trainer import build_model
+
+        cfg = tiny_cfg()
+        model = build_model(cfg)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, 32, 64, 3)), train=False)
+        imgs, labels = synthetic_batch(rng, 8, 32, 64)
+        # eval_shape == input_shape here so the hand-check needs no resize
+        batches = lambda: iter([(imgs, labels)])
+        res_u = Evaluator(model, batches, (32, 64))(variables)
+        res_s = Evaluator(model, batches, (32, 64),
+                          mesh=make_mesh(8))(variables)
+        assert np.isfinite(res_u["main/loss"])
+        np.testing.assert_allclose(res_u["main/loss"], res_s["main/loss"],
+                                   rtol=1e-5)
+        for k in ("main/iou/road", "main/pixel_accuracy"):
+            np.testing.assert_allclose(res_u[k], res_s[k], rtol=1e-6)
+        score = model.apply(variables, jnp.asarray(imgs), train=False)
+        want = float(softmax_cross_entropy(score, jnp.asarray(labels)))
+        np.testing.assert_allclose(res_u["main/loss"], want, rtol=1e-5)
+
 
 class TestOrbaxBackend:
     def test_orbax_roundtrip(self, rng, tmp_path):
