@@ -84,12 +84,15 @@ def _cluster_means(X, assign, row_weights, k_slots):
     return sums / denom  # may be non-finite for empty clusters, as in ref
 
 
-def _assign_step(X, centers, valid, cluster_valid=None):
+def _assign_step(X, x2, centers, valid, cluster_valid=None):
     """argmin_k ||x - c_k|| with invalid rows -> -1.
 
+    x2: (N, 1) precomputed sum(X*X) — loop-invariant, hoisted OUT of the
+    Lloyd while_loop (XLA does not LICM across while bodies; recomputing
+    it re-read the (N, D) matrix every sweep, a third of the loop's HBM
+    traffic at the 1000-sweep reference cap).
     cluster_valid: optional (k_slots,) bool — slots beyond the runtime k
     in dynamic-k mode; their (non-finite) distances are masked to +inf."""
-    x2 = jnp.sum(X * X, axis=-1, keepdims=True)  # (N, 1)
     c2 = jnp.sum(centers * centers, axis=-1)[None, :]  # (1, k)
     xc = X @ centers.T  # (N, k) — MXU
     d2 = x2 - 2.0 * xc + c2
@@ -160,6 +163,7 @@ def _lloyd(X, weights, valid, assign0, *, k_slots: int, cluster_valid,
     ones = jnp.where(valid, 1.0, 0.0)
     # unweighted init (:150)
     centers0 = _cluster_means(X, assign0, ones, k_slots)
+    x2 = jnp.sum(X * X, axis=-1, keepdims=True)  # loop-invariant
 
     # Effective row weight given an assignment: prior for cluster 0,
     # (1 - prior) for the others (:163-171); zero for invalid rows.
@@ -173,7 +177,7 @@ def _lloyd(X, weights, valid, assign0, *, k_slots: int, cluster_valid,
 
     def body(state):
         assign, centers, it, done, converged, empty_stop = state
-        new_assign = _assign_step(X, centers, valid, cluster_valid)
+        new_assign = _assign_step(X, x2, centers, valid, cluster_valid)
         same = jnp.all(new_assign == assign)
 
         new_centers = _cluster_means(X, new_assign, eff_w(new_assign),
