@@ -4,16 +4,40 @@ Reference: models/segnet_basic.py:48-76 uses Chainer's
 F.MaxPooling2D(2, 2) with stored indexes and F.upsampling_2d to scatter
 decoder activations back to the encoder's max positions.
 
-XLA-native design: 2x2/stride-2 pooling is a reshape + max over the window
-axis; the argmax within each window is kept as a (0..3) code, and unpooling
-is a one-hot expansion — no scatter, fully fusible, differentiable.
+XLA-native design with ZERO transposes and ZERO gathers: the window
+tensor (N, h, 2, w, 2, C) is a pure reshape of the contiguous NHWC
+input, the max/argmax are reductions over the two size-2 axes, the
+argmax code comes from a broadcasted-iota position grid (ties pick the
+lowest window offset, matching Chainer/jnp.argmax), and unpooling
+broadcasts back into the same 6D layout and reshapes — (h, 2) and
+(w, 2) merge contiguously, so no data reordering ever happens.
+
+Two earlier formulations measured on real TPU (tools/train_probe.py /
+ce_probe.py, 4 stage pairs of the SegNetBasic recipe at 8x512x1024):
+transpose-to-(..., C, 4) + argmax = 68 ms fwd+bwd; four strided slices
+interleaved via interior-padded lax.pad = 315 ms.  Both are pure data
+movement; this form eliminates it.
+
+Backward: the pooled value is SELECTED through the argmax mask (the max
+reduction itself is detached), so its gradient routes exactly to the
+argmax element — Chainer's semantics.  (jnp.max's vjp splits gradients
+among tied elements; after relu, exact ties at 0.0 are common, so the
+distinction is real.)
+
 Odd inputs are padded with -inf (Chainer's cover_all=True output size).
-Ties pick the first (lowest window-offset) element, matching Chainer.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _pos_grid():
+    """(1, 1, 2, 1, 2, 1) int32 window-offset codes 2*dy + dx."""
+    dy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2, 1, 2, 1), 2)
+    dx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2, 1, 2, 1), 4)
+    return 2 * dy + dx
 
 
 def max_pool_argmax_2x2(x: jnp.ndarray):
@@ -26,9 +50,14 @@ def max_pool_argmax_2x2(x: jnp.ndarray):
                     constant_values=-jnp.inf)
     h2, w2 = x.shape[1] // 2, x.shape[2] // 2
     xr = x.reshape(n, h2, 2, w2, 2, c)
-    win = xr.transpose(0, 1, 3, 5, 2, 4).reshape(n, h2, w2, c, 4)
-    idx = jnp.argmax(win, axis=-1).astype(jnp.int32)
-    pooled = jnp.max(win, axis=-1)
+    m = jax.lax.stop_gradient(jnp.max(xr, axis=(2, 4), keepdims=True))
+    pos = _pos_grid()
+    # first max in window order: min position among elements == max
+    cand = jnp.where(xr == m, pos, 4)
+    idx = jnp.min(cand, axis=(2, 4)).astype(jnp.int32)  # (n, h2, w2, c)
+    sel = cand == idx[:, :, None, :, None, :]  # one True per window
+    # select (not reduce): gradient flows to the argmax element only
+    pooled = jnp.sum(jnp.where(sel, xr, 0.0), axis=(2, 4))
     return pooled, idx
 
 
@@ -52,11 +81,9 @@ def max_unpool_2x2(x: jnp.ndarray, idx: jnp.ndarray,
         x = x[:, :mh, :mw]
         idx = idx[:, :mh, :mw]
     n, h, w, c = x.shape
-    onehot = (idx[..., None] == jnp.arange(4, dtype=jnp.int32)).astype(
-        x.dtype)  # (N, h, w, C, 4)
-    win = x[..., None] * onehot
-    out = win.reshape(n, h, w, c, 2, 2).transpose(0, 1, 4, 2, 5, 3).reshape(
-        n, 2 * h, 2 * w, c)
+    sel = idx[:, :, None, :, None, :] == _pos_grid()
+    out6 = jnp.where(sel, x[:, :, None, :, None, :], 0.0)
+    out = out6.astype(x.dtype).reshape(n, 2 * h, 2 * w, c)
     if out_hw is not None:
         out = out[:, : out_hw[0], : out_hw[1]]
     return out

@@ -23,7 +23,13 @@ def softmax_cross_entropy(logits, labels):
     logp = jax.nn.log_softmax(logits, axis=-1)
     valid = labels >= 0
     safe = jnp.where(valid, labels, 0)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: the per-pixel
+    # gather lowers to a serialized TPU gather costing ~60 ms fwd+bwd at
+    # the (8, 512, 1024, 2) recipe shape; the one-hot multiply runs in
+    # ~1.4 ms with bit-identical values (measured, tools/ce_probe.py)
+    onehot = (safe[..., None]
+              == jnp.arange(logits.shape[-1])).astype(logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     denom = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / denom
