@@ -12,11 +12,18 @@ lowest window offset, matching Chainer/jnp.argmax), and unpooling
 broadcasts back into the same 6D layout and reshapes — (h, 2) and
 (w, 2) merge contiguously, so no data reordering ever happens.
 
-Two earlier formulations measured on real TPU (tools/train_probe.py /
-ce_probe.py, 4 stage pairs of the SegNetBasic recipe at 8x512x1024):
-transpose-to-(..., C, 4) + argmax = 68 ms fwd+bwd; four strided slices
-interleaved via interior-padded lax.pad = 315 ms.  Both are pure data
-movement; this form eliminates it.
+The argmax code is carried as **int8** (values 0..3): in the real model
+the idx tensors persist encoder -> decoder AND are saved as backward
+residuals, so their dtype is HBM traffic; int8 quarters it vs int32.
+
+Formulations measured on real TPU in the FULL SegNetBasic train step
+(tools/pool_step_probe.py, B=8 512x1024, interleaved A/B):
+  6D int32 (round 2)                     347 ms f32 / 250 ms bf16
+  6D int8  (this file)                   338 ms f32 / 240 ms bf16
+  lane-packed (.., 2C) + int8            368 ms f32 / 265 ms bf16
+(the packed form loses despite full-lane tiles — the lane-64 slices/
+concats cost more than the 6D form's (2, C) tiles); an interior-padded
+lax.pad variant measured 4.6x worse still (tools/train_probe.py notes).
 
 Backward: the pooled value is SELECTED through the argmax mask (the max
 reduction itself is detached), so its gradient routes exactly to the
@@ -33,15 +40,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _pos_grid():
-    """(1, 1, 2, 1, 2, 1) int32 window-offset codes 2*dy + dx."""
+def _pos_grid(dtype=jnp.int32):
+    """(1, 1, 2, 1, 2, 1) window-offset codes 2*dy + dx."""
     dy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2, 1, 2, 1), 2)
     dx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 2, 1, 2, 1), 4)
-    return 2 * dy + dx
+    return (2 * dy + dx).astype(dtype)
 
 
 def max_pool_argmax_2x2(x: jnp.ndarray):
-    """x: (N, H, W, C) -> (pooled (N, ceil(H/2), ceil(W/2), C), idx int32
+    """x: (N, H, W, C) -> (pooled (N, ceil(H/2), ceil(W/2), C), idx int8
     with values in [0, 4): window offset 2*dy + dx of the max."""
     n, h, w, c = x.shape
     ph, pw = h % 2, w % 2
@@ -54,8 +61,8 @@ def max_pool_argmax_2x2(x: jnp.ndarray):
     pos = _pos_grid()
     # first max in window order: min position among elements == max
     cand = jnp.where(xr == m, pos, 4)
-    idx = jnp.min(cand, axis=(2, 4)).astype(jnp.int32)  # (n, h2, w2, c)
-    sel = cand == idx[:, :, None, :, None, :]  # one True per window
+    idx = jnp.min(cand, axis=(2, 4)).astype(jnp.int8)  # (n, h2, w2, c)
+    sel = cand.astype(jnp.int8) == idx[:, :, None, :, None, :]
     # select (not reduce): gradient flows to the argmax element only
     pooled = jnp.sum(jnp.where(sel, xr, 0.0), axis=(2, 4))
     return pooled, idx
@@ -72,7 +79,7 @@ def max_unpool_2x2(x: jnp.ndarray, idx: jnp.ndarray,
 
     Args:
       x: (N, h, w, C) decoder activations.
-      idx: (N, h, w, C) int32 window offsets from the paired pooling.
+      idx: (N, h, w, C) int8/int32 window offsets from the paired pooling.
       out_hw: optional (H, W) to crop the 2h x 2w output to.
     """
     if x.shape != idx.shape:
@@ -81,7 +88,7 @@ def max_unpool_2x2(x: jnp.ndarray, idx: jnp.ndarray,
         x = x[:, :mh, :mw]
         idx = idx[:, :mh, :mw]
     n, h, w, c = x.shape
-    sel = idx[:, :, None, :, None, :] == _pos_grid()
+    sel = idx[:, :, None, :, None, :] == _pos_grid(idx.dtype)
     out6 = jnp.where(sel, x[:, :, None, :, None, :], 0.0)
     out = out6.astype(x.dtype).reshape(n, 2 * h, 2 * w, c)
     if out_hw is not None:
