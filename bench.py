@@ -85,12 +85,15 @@ def _label_gen_cfg(mode: str):
         # (slic_enforce_connectivity=False) — one dispatch per UNIT of
         # GROUPS independent 30-image clustering batches (amortizes the
         # fixed ~40 ms upload/round-trip tax), the only host work is the
-        # uint8 upload
+        # image upload, wire-packed as YUV420 (pipeline/wire.py: the
+        # uplink is the binding constraint at ~45 MB/s; 1.5 B/px halves
+        # it, quality-gated in tests/test_wire.py)
         sp = SuperpixelConfig(method="slic", n_slic_segments=100,
                               slic_iters=10, max_superpixels=256,
                               slic_enforce_connectivity=False)
         return LabelGenConfig(batchsize=BATCH, superpixel=sp,
                               groups_per_dispatch=GROUPS,
+                              upload_format="yuv420",
                               save_masks=False)
     if mode == "slic_cc":
         # skimage-parity SLIC: host union-find connectivity pass

@@ -74,6 +74,12 @@ def get_args(argv=None):
                    help="feature-extractor compute dtype (default "
                         "bfloat16: 2x MXU rate, quality-gated; parity "
                         "init pins float32 regardless)")
+    p.add_argument("--upload_format", default="rgb8",
+                   choices=["rgb8", "yuv420"],
+                   help="image-uplink wire format (pipeline/wire.py): "
+                        "yuv420 halves the bytes per image on the "
+                        "remote-TPU uplink (quality-gated; needs the "
+                        "fused-SLIC or direct path)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the run")
     p.add_argument("--resume", action="store_true", default=False,
@@ -109,7 +115,8 @@ def config_from_args(args) -> LabelGenConfig:
         out_dir=args.out_dir,
         save_images=args.save_images,
         save_masks=not args.no_save_masks,
-        model_dtype=args.model_dtype)
+        model_dtype=args.model_dtype,
+        upload_format=args.upload_format)
 
 
 def main(argv=None):

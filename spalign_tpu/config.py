@@ -139,6 +139,12 @@ class LabelGenConfig:
     # (tests/test_pipeline_e2e.py::TestBF16::test_quality_gate_f32_vs_bf16).
     # Bit-parity mode (kmeans.init='reference') pins f32 regardless.
     model_dtype: str = "bfloat16"  # 'float32' | 'bfloat16'
+    # Image uplink wire format (pipeline/wire.py).  'yuv420' halves the
+    # bytes per image (1.5 B/px, BT.601 + 2x2 chroma subsampling,
+    # decoded on device) — the uplink is the fused pipeline's binding
+    # constraint on remote-attached TPUs.  Supported on the fused-SLIC
+    # spalign path and the direct mode; parity mode rejects it.
+    upload_format: str = "rgb8"  # 'rgb8' | 'yuv420'
 
 
 @dataclass(frozen=True)

@@ -78,24 +78,40 @@ def _use_pallas_default() -> bool:
     # into ~2 ms/img, while the Pallas variant pays per-block dispatch
     # overheads (13 ms/img).  The kernel is demoted to
     # kernels/experimental/ (see its __init__ for the numbers) and is
-    # opt-in only.
+    # opt-in only.  (The fully-fused Lloyd kernel — kernels/slic_fused —
+    # is a different design and IS the default where eligible.)
+    return False
+
+
+def _fused_eligible(h: int, w: int, k: int) -> bool:
+    # Measured on TPU v5e (tools/label_probe shapes, 150x224^2 k=100):
+    # the whole-loop kernel runs 184 ms vs 110 ms for the XLA loop —
+    # its skinny matmuls (contraction-8 distance dots, (8, 128)-output
+    # update dots) are MXU-latency-bound.  Off by default until a
+    # VPU-distance formulation beats the XLA loop; opt in with
+    # slic(..., use_fused=True).
+    del h, w, k
     return False
 
 
 @partial(jax.jit, static_argnames=("n_segments", "compactness", "n_iter",
-                                   "use_pallas"))
+                                   "use_pallas", "use_fused"))
 def slic(image: jnp.ndarray, n_segments: int = 100,
          compactness: float = 10.0, n_iter: int = 10,
-         use_pallas: bool | None = None) -> jnp.ndarray:
+         use_pallas: bool | None = None,
+         use_fused: bool | None = None) -> jnp.ndarray:
     """SLIC superpixels of one (H, W, 3) image (values 0..255).
 
     Returns an (H, W) int32 label map with ids in [0, K) where K is the
     actual grid size (close to n_segments).  Labels are NOT guaranteed
     4-connected; call native.enforce_connectivity for strict parity.
 
-    use_pallas: fuse the assignment step into the experimental Pallas
-    TPU kernel (kernels/experimental/slic_pallas.py) — opt-in; the XLA
-    path measured faster (see kernels/experimental/__init__.py).
+    use_fused: run the whole Lloyd loop as one Pallas kernel
+    (kernels/slic_fused.py) — default on TPU when K <= 128 and the
+    packed pixels fit VMEM; ~50x less HBM traffic than the XLA loop.
+    use_pallas: fuse only the assignment step into the experimental
+    Pallas kernel (kernels/experimental/slic_pallas.py) — opt-in; the
+    XLA path measured faster (see kernels/experimental/__init__.py).
     """
     h, w, _ = image.shape
     centers_yx_np, step = _init_centers(h, w, n_segments)
@@ -122,6 +138,21 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
     ratio2 = (compactness / step) ** 2
     scale = jnp.asarray([1.0, 1.0, 1.0, ratio2 ** 0.5, ratio2 ** 0.5],
                         jnp.float32)
+
+    if use_fused is None:
+        use_fused = not use_pallas and _fused_eligible(h, w, k)
+    if use_fused:
+        from spalign_tpu.kernels.slic_fused import (pack_centers_fused,
+                                                    pack_pixels_fused,
+                                                    slic_lloyd_fused)
+
+        ratio = float(ratio2 ** 0.5)
+        P = pack_pixels_fused(lab, ratio)
+        c0 = pack_centers_fused(c_lab, cy, cx, ratio)
+        labels = slic_lloyd_fused(P, c0, k_real=k,
+                                  window=float(2.0 * step),
+                                  n_iter=n_iter)
+        return labels[: h * w].reshape(h, w)
 
     if use_pallas is None:
         use_pallas = _use_pallas_default()

@@ -133,7 +133,7 @@ class DirectLabelGenerator(LabelGeneratorBase):
 
         @jax.jit
         def program(imgs, seeds, k):
-            fmaps = feature_fn(imgs)
+            fmaps = feature_fn(self._wire_decode(imgs))
             g = seeds.shape[0]
             n = imgs.shape[0]
 

