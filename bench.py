@@ -275,6 +275,11 @@ def _print_breakdown(mode, gen, records, imgs_per_sec):
         n_imgs = cfgb.batchsize * groups  # the unit shape the bench ran
         imgs = np.random.RandomState(0).randint(
             0, 255, (n_imgs, *cfgb.resize_shape, 3), np.uint8)
+        if cfgb.upload_format == "yuv420":
+            # the program consumes the wire format (decode is in-program)
+            from spalign_tpu.pipeline.wire import pack_yuv420
+
+            imgs = pack_yuv420(imgs)
         needs_sps = (cfgb.mode == "spalign"
                      and not _fused_superpixels(cfgb))
         sps = None
@@ -283,7 +288,18 @@ def _print_breakdown(mode, gen, records, imgs_per_sec):
                 compute_superpixels
             sps, _ = compute_superpixels(imgs, cfgb.superpixel)
 
+        import jax.numpy as jnp
+
+        # device-resident ONCE: a host array re-uploads on every call,
+        # which serializes ~0.25 s/unit of uplink into the "device"
+        # number (the e2e pipeline overlaps uploads with execution)
+        imgs = jnp.asarray(imgs)
+        if sps is not None:
+            sps = jnp.asarray(sps)
+
         def call(base_seed):
+            # seeds vary per call: the runtime memoizes executions on
+            # identical inputs, and seeds are the cheap thing to vary
             seeds = np.arange(base_seed, base_seed + groups,
                               dtype=np.uint32)
             a = (imgs, sps, seeds) if needs_sps else (imgs, seeds)

@@ -36,8 +36,28 @@ Odd inputs are padded with -inf (Chainer's cover_all=True output size).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# 'xla' (default) | 'pallas' — hand-streamed Pallas kernels exist
+# (kernels/pooling_pallas.py, bit-equal incl. gradients) but MEASURED
+# SLOWER in the full train step (tools/pool_pallas_probe.py, real TPU,
+# interleaved A/B: f32 345 vs 337 ms/step, bf16 261 vs 240): under jit
+# XLA fuses this file's reshape-native form into the surrounding
+# BN/relu/conv elementwise chains, and a custom call severs exactly
+# those fusions.  The kernels stay in-repo as the measured alternative;
+# force with SPALIGN_POOL_IMPL=pallas for A/B probes.
+POOL_IMPL = os.environ.get("SPALIGN_POOL_IMPL", "xla")
+
+
+def _use_pallas(shape, dtype) -> bool:
+    if POOL_IMPL != "pallas":
+        return False
+    from spalign_tpu.kernels.pooling_pallas import pallas_pool_eligible
+
+    return pallas_pool_eligible(shape, dtype)
 
 
 def _pos_grid(dtype=jnp.int32):
@@ -55,6 +75,11 @@ def max_pool_argmax_2x2(x: jnp.ndarray):
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
                     constant_values=-jnp.inf)
+    if _use_pallas(x.shape, x.dtype):
+        from spalign_tpu.kernels.pooling_pallas import \
+            max_pool_argmax_2x2_pallas
+
+        return max_pool_argmax_2x2_pallas(x)
     h2, w2 = x.shape[1] // 2, x.shape[2] // 2
     xr = x.reshape(n, h2, 2, w2, 2, c)
     m = jax.lax.stop_gradient(jnp.max(xr, axis=(2, 4), keepdims=True))
@@ -87,6 +112,14 @@ def max_unpool_2x2(x: jnp.ndarray, idx: jnp.ndarray,
         mw = min(x.shape[2], idx.shape[2])
         x = x[:, :mh, :mw]
         idx = idx[:, :mh, :mw]
+    if _use_pallas(x.shape, x.dtype):
+        from spalign_tpu.kernels.pooling_pallas import \
+            max_unpool_2x2_pallas
+
+        out = max_unpool_2x2_pallas(x, idx.astype(jnp.int8))
+        if out_hw is not None:
+            out = out[:, : out_hw[0], : out_hw[1]]
+        return out
     n, h, w, c = x.shape
     sel = idx[:, :, None, :, None, :] == _pos_grid(idx.dtype)
     out6 = jnp.where(sel, x[:, :, None, :, None, :], 0.0)
