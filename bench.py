@@ -205,8 +205,10 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     def finish_and_land(prepared, handles, timers):
         road, cluster, diag = orig_finish(prepared, handles, timers)
         # the masks are the product: land them (bit-packed when the
-        # program provides them, as the scoring/save paths consume)
-        np.asarray(handles.get("road_packed", road))
+        # program provides them, as the scoring/save paths consume).
+        # finish_batch's combined fetch usually landed them already.
+        if "road_packed_np" not in handles:
+            np.asarray(handles.get("road_packed", road))
         return road, cluster, diag
 
     gen.finish_batch = finish_and_land
@@ -353,12 +355,17 @@ def bench_relabel(breakdown: bool = False) -> dict:
 
     h, w = 512, 1024
     eval_hw = (1024, 2048)
-    n_imgs, batch = 16, 8
+    # 4 batches: enough for the producer/in-flight pipeline to overlap
+    # uplink, device time, downlink, and the host stages in steady state
+    n_imgs, batch = 32, 8
     rng = np.random.RandomState(3)
     model = SegNetBasic(n_class=2)
     variables = model.init(jax.random.key(0),
                            np.zeros((1, h, w, 3), np.float32),
                            train=False)
+
+    from spalign_tpu.data.cityscapes import (CITYSCAPES_MEAN,
+                                             CITYSCAPES_STD)
 
     class _Ds:
         def __len__(self):
@@ -369,8 +376,12 @@ def bench_relabel(breakdown: bool = False) -> dict:
 
         def __getitem__(self, i):
             r = np.random.RandomState(100 + i)  # varied (memoizer!)
-            return (r.rand(h, w, 3).astype(np.float32),
-                    r.randint(-1, 2, eval_hw).astype(np.int32))
+            # standardized-from-uint8, like every real dataset here —
+            # exercises the u8 uplink wire
+            u8 = r.randint(0, 256, (h, w, 3)).astype(np.float32)
+            img = ((u8 - CITYSCAPES_MEAN) / CITYSCAPES_STD).astype(
+                np.float32)
+            return img, r.randint(-1, 2, eval_hw).astype(np.int32)
 
     best = float("inf")
     with tempfile.TemporaryDirectory() as td:

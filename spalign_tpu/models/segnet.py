@@ -130,19 +130,26 @@ class SegNet(nn.Module):
 
 
 def predict_labels(apply_fn, variables, images_nhwc, pred_shape=None,
-                   return_score: bool = False):
+                   return_score: bool = False,
+                   return_small_score: bool = False):
     """Inference helper mirroring the reference predict semantics
     (segnet_basic.py:80-115): forward in eval mode, optional softmax,
     resize scores to pred_shape (bilinear), argmax over classes.
 
     Operates on a whole batch at once (the reference loops per image).
     Returns labels (N, H', W') int32 [and scores (N, H', W', C)].
+    With return_small_score the score slot is a (resized, pre-resize)
+    pair — the pre-resize softmax carries the same information in
+    1/upsample-factor of the bytes (the relabel downlink lever).
     """
     score = apply_fn(variables, images_nhwc, train=False)
     if return_score:
         score = nn.softmax(score, axis=-1)
+    small = score
     if pred_shape is not None and tuple(score.shape[1:3]) != tuple(
             pred_shape):
         score = bilinear_resize(score, pred_shape, spatial_axes=(1, 2))
     labels = jnp.argmax(score, axis=-1).astype(jnp.int32)
-    return (labels, score) if return_score else labels
+    if return_score:
+        return labels, ((score, small) if return_small_score else score)
+    return labels

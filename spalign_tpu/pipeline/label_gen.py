@@ -593,7 +593,11 @@ class LabelGeneratorBase:
                 # GIL-bound, measured slower under a thread pool.
                 # masks come down BIT-PACKED when the program provides
                 # them (8x less downlink; see pack_mask_bits)
-                if "road_packed" in handles:
+                if "road_packed_np" in handles:
+                    # already landed by finish_batch's combined fetch
+                    road_np = unpack_mask_bits(handles["road_packed_np"],
+                                               road.shape[-1])
+                elif "road_packed" in handles:
                     road_np = unpack_mask_bits(
                         np.asarray(handles["road_packed"]),
                         road.shape[-1])
@@ -612,13 +616,14 @@ class LabelGeneratorBase:
             os.makedirs(cfg.out_dir, exist_ok=True)
 
         times = timers.finish()
+        cfg_flat = flatten(cfg)  # invariant across the unit; hoisted
         for b, idx in enumerate(indices):
             img_fn = _name(dataset, "image_name", idx)
             rec = {"img_fn": img_fn,
                    "label_fn": _name(dataset, "label_name", idx)}
             if confs[b] is not None:
                 rec.update(_confusion_record(confs[b]))
-            rec.update(flatten(cfg))
+            rec.update(cfg_flat)
             rec.update(times)
             rec.update(diag)
             if per_group:
@@ -937,11 +942,21 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         with timers.stage("kmeans"):
             for attempt in range(max(1, cfg.kmeans.max_retries)):
                 res = handles["res"]
-                # one transfer for every scalar (each separate int()/
-                # bool() would be its own device round-trip)
-                n_it, conv, empty, ok_np = jax.device_get(
-                    (res.n_iter, res.converged, res.empty_stop,
-                     handles["ok"]))
+                # ONE transfer for everything the host needs from this
+                # unit: the retry/diag scalars AND the bit-packed masks
+                # (when the program provides them).  Each extra
+                # device_get costs a full tunnel round trip (~30-60 ms)
+                # on remote-attached TPUs — fetching the masks together
+                # with the scalars halves the per-unit fetch latency of
+                # the scoring path.
+                fetch = [res.n_iter, res.converged, res.empty_stop,
+                         handles["ok"]]
+                if "road_packed" in handles:
+                    fetch.append(handles["road_packed"])
+                got = jax.device_get(fetch)
+                n_it, conv, empty, ok_np = got[:4]
+                if len(got) > 4:
+                    handles["road_packed_np"] = got[4]
                 if bool(np.all(ok_np)) or attempt + 1 >= max(
                         1, cfg.kmeans.max_retries):
                     break

@@ -327,3 +327,111 @@ def test_relabel_save_each_npy_files(tmp_path):
     assert s.dtype == np.float16 and s.shape == (2, *HW)
     np.testing.assert_allclose(np.asarray(s, np.float32).sum(0), 1.0,
                                atol=2e-3)
+
+
+def test_relabel_wire_format_quality_gate(tmp_path):
+    """The relabel uplink ships uint8 pixels (standardization inverted
+    on the host, re-applied in f32 on device) and the downlink (binary
+    case) only score channel 0, reconstructing ch1 = 1-ch0 host-side.
+    Gate vs the reference-exact wire (f32 images, both channels): the
+    predictions agree and scores match to one f16 ulp."""
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    adapter = RelabelAdapter(ds)
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, *HW, 3), np.float32))
+
+    def run(tag, wire):
+        out = str(tmp_path / f"{tag}.0.zip")
+        relabel_dataset(model, variables, adapter, out, eval_shape=HW,
+                        batch_size=4, soft_label=True,
+                        score_dtype=np.float16, input_wire=wire)
+        preds, scores = {}, {}
+        with np.load(out) as npz:
+            for k in npz.files:
+                (scores if k.endswith("_scores") else preds)[k] = npz[k]
+        return preds, scores
+
+    pu8, su8 = run("wire_u8", "auto")  # adapter standardizes with the
+    p32, s32 = run("wire_f32", "f32")  # package mean/std -> u8 adopted
+    assert set(pu8) == set(p32) and len(pu8) == N
+    # the u8 wire re-derives the SAME standardized f32 values on device
+    # (one ulp of reassociation at most): preds flip only where the f32
+    # score is within float noise of exactly 0.5
+    for k in pu8:
+        flipped = pu8[k] != p32[k]
+        if flipped.any():
+            sk = k + "_scores"
+            ambig = np.abs(s32[sk][1].astype(np.float32) - 0.5) < 1e-4
+            assert ambig[flipped].all()
+        np.testing.assert_allclose(
+            su8[k + "_scores"].astype(np.float32),
+            s32[k + "_scores"].astype(np.float32), atol=2e-3)
+        np.testing.assert_allclose(
+            su8[k + "_scores"].astype(np.float32).sum(0), 1.0, atol=2e-3)
+    for k in su8:
+        # both channels present in the stored format
+        assert su8[k].shape == (2, *HW) and su8[k].dtype == np.float16
+
+
+def test_relabel_small_score_downlink_matches_device_resize(tmp_path):
+    """When eval_shape > network resolution the downlink carries the
+    pre-resize score and the host replicates the device's bilinear
+    upsample (cv2 INTER_LINEAR == jax.image.resize 'linear' to float
+    rounding).  Gate: stored scores match the device-resized ones to
+    ~an f16 ulp, and preds are the device argmax at full res."""
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.models.segnet import predict_labels
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    adapter = RelabelAdapter(ds)
+    eval_hw = (HW[0] * 2, HW[1] * 2)
+
+    class EvalResAdapter:
+        """gt at eval res (the relabel contract)."""
+
+        def __len__(self):
+            return len(adapter)
+
+        def image_name(self, i):
+            return adapter.image_name(i)
+
+        def __getitem__(self, i):
+            img, gt = adapter[i]
+            gt_big = cv2.resize(gt.astype(np.uint8), eval_hw[::-1],
+                                interpolation=cv2.INTER_NEAREST)
+            return img, gt_big.astype(np.int32)
+
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, *HW, 3), np.float32))
+    out_zip = str(tmp_path / "small.0.zip")
+    recs = relabel_dataset(model, variables, EvalResAdapter(), out_zip,
+                           eval_shape=eval_hw, batch_size=4,
+                           soft_label=True, score_dtype=np.float16)
+    assert len(recs) == N
+    # oracle: full device path for the first batch
+    imgs = np.stack([adapter[i][0] for i in range(4)]).astype(np.float32)
+    apply_fn = lambda v, im, train: model.apply(v, im, train=train)
+    labels, score = predict_labels(apply_fn, variables, imgs,
+                                   pred_shape=eval_hw, return_score=True)
+    labels, score = np.asarray(labels), np.asarray(score)
+    with np.load(out_zip) as npz:
+        for i in range(4):
+            base = os.path.splitext(adapter.image_name(i))[0]
+            pred = npz[base]
+            sc = npz[base + "_scores"].astype(np.float32)
+            assert pred.shape == eval_hw and sc.shape == (2, *eval_hw)
+            np.testing.assert_array_equal(pred, labels[i].astype(bool))
+            np.testing.assert_allclose(sc[0], score[i, :, :, 0],
+                                       atol=2e-3)
+            np.testing.assert_allclose(sc[1], score[i, :, :, 1],
+                                       atol=2e-3)
