@@ -95,17 +95,24 @@ def _fused_eligible(h: int, w: int, k: int) -> bool:
 
 
 @partial(jax.jit, static_argnames=("n_segments", "compactness", "n_iter",
-                                   "use_pallas", "use_fused"))
+                                   "use_pallas", "use_fused",
+                                   "use_cellwin"))
 def slic(image: jnp.ndarray, n_segments: int = 100,
          compactness: float = 10.0, n_iter: int = 10,
          use_pallas: bool | None = None,
-         use_fused: bool | None = None) -> jnp.ndarray:
+         use_fused: bool | None = None,
+         use_cellwin: bool | None = None) -> jnp.ndarray:
     """SLIC superpixels of one (H, W, 3) image (values 0..255).
 
     Returns an (H, W) int32 label map with ids in [0, K) where K is the
     actual grid size (close to n_segments).  Labels are NOT guaranteed
     4-connected; call native.enforce_connectivity for strict parity.
 
+    use_cellwin: cell-windowed Lloyd (opt-in; measured SLOWER than the
+    dense sweep on TPU v5e — see the gate below) — pixels are blocked
+    by grid cell and compete only among the 5x5 neighboring cells'
+    centers, materializing (HW, 25) distances instead of (HW, K).
+    Same masked-window semantics; see _slic_cellwin.
     use_fused: run the whole Lloyd loop as one Pallas kernel
     (kernels/slic_fused.py) — default on TPU when K <= 128 and the
     packed pixels fit VMEM; ~50x less HBM traffic than the XLA loop.
@@ -177,6 +184,26 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
         centers = jax.lax.fori_loop(0, n_iter, body, centers)
         return assign(centers).reshape(h, w)
 
+    # grid dims (row-major center ids: id = i * gx + j)
+    step_raw = (h * w / n_segments) ** 0.5
+    gy = max(1, int(round(h / step_raw)))
+    gx = max(1, int(round(w / step_raw)))
+    if use_cellwin is None:
+        # Measured on TPU v5e at the bench unit shape (150 x 224^2,
+        # K=100, 10 iters): dense 109 ms vs cell-windowed 228 ms
+        # (einsum distances) / 205 ms (pure-broadcast distances).  The
+        # traffic arithmetic favored the window (25 vs 100 candidate
+        # columns) but the blocked (gy, gx, P, 25) layout defeats XLA's
+        # fusion of the one big matmul + mask + argmin sweep the dense
+        # form gets.  Dense stays the default; the windowed path is
+        # kept opt-in with an agreement test.  (On TPU the two differ
+        # at region boundaries: the dense distance matmul executes in
+        # bf16 on the MXU, the windowed broadcasts in exact f32.)
+        use_cellwin = False
+    if use_cellwin:
+        return _slic_cellwin(lab, centers, gy, gx, k, step, scale,
+                             n_iter).reshape(h, w)
+
     def assign(centers):
         ps = pix * scale[None, :]
         cs = centers * scale[None, :]
@@ -199,6 +226,118 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
     centers = jax.lax.fori_loop(0, n_iter, body, centers)
     labels = assign(centers)
     return labels.reshape(h, w)
+
+
+def _slic_cellwin(lab, centers0, gy, gx, k, step, scale, n_iter):
+    """Cell-windowed SLIC Lloyd: identical masked-window semantics to
+    the dense sweep, restricted to the 25 candidate centers of the 5x5
+    grid-cell neighborhood.
+
+    Correctness: the dense sweep masks to centers whose CURRENT position
+    is within the 2*step Chebyshev window of the pixel.  A center
+    reaching pixel p therefore sits within ~2 cells of p, and SLIC
+    centers stay near their origin cell (each update averages pixels
+    from the <=2*step window), so every center that could win under the
+    dense rule is inside p's 5x5 initial-cell neighborhood.  The same
+    current-position window mask is applied to the 25 candidates, so
+    label maps match the dense program's.
+
+    Why: the dense sweep's cost is HBM traffic — (HW, K) distance +
+    one-hot tensors per iteration (~20 MB/img at 224^2, K=100); the
+    windowed form materializes (HW, 25) instead, ~K/25 less.
+    """
+    h, w, _ = lab.shape
+    ch, cw = -(-h // gy), -(-w // gx)  # cell size, image padded to fit
+    hp, wp = gy * ch, gx * cw
+    yy = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1)
+    lab_p = jnp.pad(lab, ((0, hp - h), (0, wp - w), (0, 0)))
+    pix = jnp.concatenate([lab_p, yy[..., None], xx[..., None]], -1)
+    valid = ((yy < h) & (xx < w))  # padding pixels: excluded everywhere
+    # (gy, gx, P, 5) cell blocks, P = ch*cw
+    cells = pix.reshape(gy, ch, gx, cw, 5).transpose(0, 2, 1, 3, 4)
+    cells = cells.reshape(gy, gx, ch * cw, 5)
+    vcell = valid.reshape(gy, ch, gx, cw).transpose(0, 2, 1, 3).reshape(
+        gy, gx, ch * cw)
+
+    # static candidate-id table: cell (i,j) -> the 25 center ids of its
+    # 5x5 neighborhood (-1 out of grid)
+    import numpy as np
+
+    ids = np.full((gy + 4, gx + 4), -1, np.int32)
+    ids[2:-2, 2:-2] = np.arange(gy * gx, dtype=np.int32).reshape(gy, gx)
+    cand_ids = np.stack([ids[2 + di:2 + di + gy, 2 + dj:2 + dj + gx]
+                         for di in (-2, -1, 0, 1, 2)
+                         for dj in (-2, -1, 0, 1, 2)],
+                        axis=-1)  # (gy, gx, 25)
+    cand_ids_j = jnp.asarray(cand_ids)
+    cand_ok = cand_ids_j >= 0  # (gy, gx, 25)
+
+    ps = cells * scale[None, None, None, :]
+    ps2 = jnp.sum(ps * ps, -1)  # (gy, gx, P)
+
+    def windows(grid):
+        """(gy+4, gx+4, D) padded grid -> (gy, gx, 25, D) shifted views."""
+        return jnp.stack([grid[2 + di:2 + di + gy, 2 + dj:2 + dj + gx]
+                          for di in (-2, -1, 0, 1, 2)
+                          for dj in (-2, -1, 0, 1, 2)], axis=2)
+
+    def assign25(centers):
+        cgrid = jnp.pad(centers.reshape(gy, gx, 5),
+                        ((2, 2), (2, 2), (0, 0)))
+        cand = windows(cgrid)  # (gy, gx, 25, 5)
+        cs = cand * scale[None, None, None, :]
+        # (gy, gx, P, 25) distances as PURE broadcasts (an einsum here
+        # decomposes into 15k MXU-tile-padded tiny matmuls, measured 2x
+        # slower than even the dense sweep): 5 fused multiply-adds that
+        # XLA folds into the argmin's producer loop
+        d2 = sum((ps[..., :, None, d] - cs[..., None, :, d]) ** 2
+                 for d in range(5))
+        dy = jnp.abs(cells[..., 3][..., None] - cand[..., 3][:, :, None, :])
+        dx = jnp.abs(cells[..., 4][..., None] - cand[..., 4][:, :, None, :])
+        in_win = ((dy <= 2.0 * step) & (dx <= 2.0 * step)
+                  & cand_ok[:, :, None, :])
+        d2 = jnp.where(in_win, d2, jnp.inf)
+        sel = jnp.argmin(d2, axis=-1)  # (gy, gx, P) in [0, 25)
+        # safety net (mirrors the dense path's fallback): a pixel whose
+        # window is empty takes its OWN cell's center (index 12)
+        sel = jnp.where(jnp.any(in_win, axis=-1), sel, 12)
+        return sel
+
+    def update25(sel, centers):
+        onehot = ((sel[..., None] == jnp.arange(25)[None, None, None, :])
+                  & vcell[..., None]).astype(jnp.float32)
+        sums25 = jnp.einsum("abpk,abpd->abkd", onehot, cells,
+                            preferred_element_type=jnp.float32)
+        cnts25 = jnp.sum(onehot, axis=2)  # (gy, gx, 25)
+        sums = jnp.zeros((gy + 4, gx + 4, 5), jnp.float32)
+        cnts = jnp.zeros((gy + 4, gx + 4), jnp.float32)
+        ki = 0
+        for di in (-2, -1, 0, 1, 2):
+            for dj in (-2, -1, 0, 1, 2):
+                # cell (i,j)'s candidate ki is center (i+di, j+dj)
+                sums = sums.at[2 + di:2 + di + gy,
+                               2 + dj:2 + dj + gx].add(sums25[:, :, ki])
+                cnts = cnts.at[2 + di:2 + di + gy,
+                               2 + dj:2 + dj + gx].add(cnts25[:, :, ki])
+                ki += 1
+        sums = sums[2:-2, 2:-2].reshape(k, 5)
+        cnts = cnts[2:-2, 2:-2].reshape(k)
+        return jnp.where(cnts[:, None] > 0,
+                         sums / jnp.maximum(cnts[:, None], 1.0), centers)
+
+    def body(_, centers):
+        return update25(assign25(centers), centers)
+
+    centers = jax.lax.fori_loop(0, n_iter, body, centers0)
+    sel = assign25(centers)  # (gy, gx, P)
+    labels25 = jnp.take_along_axis(
+        jnp.broadcast_to(cand_ids_j[:, :, None, :],
+                         (gy, gx, ch * cw, 25)),
+        sel[..., None], axis=-1)[..., 0]
+    lab_map = labels25.reshape(gy, gx, ch, cw).transpose(0, 2, 1, 3)
+    lab_map = lab_map.reshape(hp, wp)[:h, :w]
+    return lab_map.astype(jnp.int32)
 
 
 def _update(pix, labels, centers, k, n):
