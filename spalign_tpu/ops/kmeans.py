@@ -209,7 +209,14 @@ def paint_clusters(superpixels: jnp.ndarray,
     """Broadcast per-superpixel cluster ids back onto pixel maps.
 
     Replaces the reference's per-superpixel painting loop
-    (batch_spalign_kmeans.py:191-199) with a gather.
+    (batch_spalign_kmeans.py:191-199).  On TPU a per-pixel gather from
+    the (S,) table serializes (measured 60 ms/unit at the bench shape,
+    the LARGEST piece of the cluster stage — tools/cluster_probe.py);
+    for small S the one-hot MXU contraction is ~6x faster and EXACT:
+    each output dot has exactly one nonzero term (1.0 * cluster_id),
+    representable even in the MXU's bf16 pass.  Large-S maps (the
+    felzenszwalb configs) keep the gather — their (HW, S) one-hot would
+    not fit sensibly, and those modes are host-bound anyway.
 
     Args:
       superpixels: (B, H, W) int32 contiguous per-image ids in [0, S).
@@ -218,6 +225,16 @@ def paint_clusters(superpixels: jnp.ndarray,
     Returns:
       (B, H, W) int32 cluster map.  Road mask = (map == 0).
     """
+    b = superpixels.shape[0]
+    s = assignment.shape[1]
+    if s <= 512:
+        flat = superpixels.reshape(b, -1)
+        onehot = (flat[..., None] == jnp.arange(s, dtype=flat.dtype)
+                  ).astype(jnp.float32)  # (B, HW, S)
+        out = jnp.einsum("bps,bs->bp", onehot,
+                         assignment.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return jnp.rint(out).astype(jnp.int32).reshape(superpixels.shape)
     return jnp.take_along_axis(
-        assignment, superpixels.reshape(superpixels.shape[0], -1), axis=1
+        assignment, superpixels.reshape(b, -1), axis=1
     ).reshape(superpixels.shape)
