@@ -104,8 +104,15 @@ def _label_gen_cfg(mode: str):
                               save_masks=False)
     if mode == "direct":
         # direct_clustering.py baseline: pixel-level clustering, no
-        # superpixels at all (the superpixel config is unused)
+        # superpixels at all (the superpixel config is unused).  YUV420
+        # halves the uplink (the binding resource); groups stay 1 —
+        # measured: vmapping G joint Lloyd loops runs every group to the
+        # SLOWEST group's iteration count, and direct's k-means (23.5k
+        # points x 514 dims per group) is heavy enough that the padding
+        # cost exceeds the ~40 ms/dispatch it saves (474 vs 1138 img/s
+        # device-bound at G=5 vs G=1)
         return LabelGenConfig(mode="direct", batchsize=BATCH,
+                              upload_format="yuv420",
                               save_masks=False)
     if mode == "felzenszwalb":
         # the reference's canonical hyperparameters
