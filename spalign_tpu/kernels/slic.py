@@ -119,7 +119,7 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
     use_pallas: fuse only the assignment step into the experimental
     Pallas kernel (kernels/experimental/slic_pallas.py) — opt-in; the
     XLA path measured faster (see kernels/experimental/__init__.py).
-    """
+"""
     h, w, _ = image.shape
     centers_yx_np, step = _init_centers(h, w, n_segments)
     k = centers_yx_np.shape[0]
@@ -204,21 +204,35 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
         return _slic_cellwin(lab, centers, gy, gx, k, step, scale,
                              n_iter).reshape(h, w)
 
+    # (bf16-packing the sweep's pixel features was tried and measured
+    # NOTHING — 88.0 vs 88.1 ms/unit — because the distance matmul
+    # already executes as one bf16 MXU pass on f32 inputs; the win that
+    # experiment appeared to show was actually the fallback fix below.)
+    # static own-cell id per pixel: the no-center-in-window fallback
+    # target.  The PREVIOUS fallback re-read the unmasked d2_raw, which
+    # kept a second (HW, K) tensor alive across the masked argmin and
+    # blocked XLA from fusing the whole sweep into one pass — measured
+    # 110 -> 84 ms/unit (150 x 224^2, K=100) from this change alone.
+    # The fallback itself cannot fire on a regular grid (every pixel's
+    # own-cell center starts within step/2); if centers ever drifted
+    # that far, the own-cell id is the sane answer anyway.
+    own_i = jnp.clip((yy * gy / h).astype(jnp.int32), 0, gy - 1)
+    own_j = jnp.clip((xx * gx / w).astype(jnp.int32), 0, gx - 1)
+    own_cell = (own_i * gx + own_j).reshape(-1)
+
     def assign(centers):
         ps = pix * scale[None, :]
         cs = centers * scale[None, :]
-        d2_raw = (jnp.sum(ps * ps, -1, keepdims=True)
-                  - 2.0 * ps @ cs.T
-                  + jnp.sum(cs * cs, -1)[None, :])  # (HW, K)
+        d2 = (jnp.sum(ps * ps, -1, keepdims=True)
+              - 2.0 * ps @ cs.T
+              + jnp.sum(cs * cs, -1)[None, :])
         # window mask: only centers within 2*step in y and x compete
         dy = jnp.abs(pix[:, 3:4] - centers[None, :, 3])
         dx = jnp.abs(pix[:, 4:5] - centers[None, :, 4])
         in_win = (dy <= 2.0 * step) & (dx <= 2.0 * step)
-        d2 = jnp.where(in_win, d2_raw, jnp.inf)
-        # fall back to unmasked distance if a pixel sees no center
-        # (cannot happen on a regular grid, kept for safety)
-        d2 = jnp.where(jnp.any(in_win, axis=1, keepdims=True), d2, d2_raw)
-        return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        sel = jnp.argmin(jnp.where(in_win, d2, jnp.inf), axis=-1)
+        return jnp.where(jnp.any(in_win, axis=1), sel,
+                         own_cell).astype(jnp.int32)
 
     def body(_, carry):
         return _update(pix, assign(carry), carry, k, h * w)
