@@ -213,12 +213,6 @@ def unpack_mask_bits(packed: np.ndarray, w: int) -> np.ndarray:
     return bits[..., :w].astype(bool)
 
 
-@partial(jax.jit, static_argnames=("full_hw",))
-def upsample_masks(road_masks, cluster_maps, full_hw):
-    return (nn_resize_cv2(road_masks.astype(jnp.uint8), full_hw),
-            nn_resize_cv2(cluster_maps.astype(jnp.uint8), full_hw))
-
-
 class LabelGeneratorBase:
     """Shared host loop for the three label-generation modes
     (spalign / direct / overlaps).  Subclasses implement run_batch."""
@@ -583,36 +577,54 @@ class LabelGeneratorBase:
         group_size = len(indices) // int(prepared.get("n_groups", 1))
 
         records = []
+        road_np = None
+        if labels is not None or save:
+            # the small clustering-resolution masks come DOWN
+            # (bit-packed when the program provides them) and everything
+            # downstream — scoring AND full-res saving — derives from
+            # them on the host
+            if "road_packed_np" in handles:
+                # already landed by finish_batch's combined fetch
+                road_np = unpack_mask_bits(handles["road_packed_np"],
+                                           road.shape[-1])
+            elif "road_packed" in handles:
+                road_np = unpack_mask_bits(
+                    np.asarray(handles["road_packed"]), road.shape[-1])
+            else:
+                road_np = np.asarray(road)
         if labels is not None:
-            # labels are RAW labelIds (dataset convention); the masks
-            # come DOWN (downloads are cheap) and score on the host —
-            # uploading 2 MB/img of labelIds for a 2x2 result would eat
-            # the scarce up-link (see host_confusion)
+            # labels are RAW labelIds (dataset convention) — uploading
+            # 2 MB/img of labelIds for a 2x2 result would eat the scarce
+            # up-link (see host_confusion)
             with timers.stage("score"):
                 # serial on purpose: the LUT+bincount kernel is
-                # GIL-bound, measured slower under a thread pool.
-                # masks come down BIT-PACKED when the program provides
-                # them (8x less downlink; see pack_mask_bits)
-                if "road_packed_np" in handles:
-                    # already landed by finish_batch's combined fetch
-                    road_np = unpack_mask_bits(handles["road_packed_np"],
-                                               road.shape[-1])
-                elif "road_packed" in handles:
-                    road_np = unpack_mask_bits(
-                        np.asarray(handles["road_packed"]),
-                        road.shape[-1])
-                else:
-                    road_np = np.asarray(road)
+                # GIL-bound, measured slower under a thread pool
                 confs = [host_confusion(r, l)
                          for r, l in zip(road_np, labels)]
         else:
             confs = [None] * len(indices)
 
         if save:
+            import cv2
+
             out_hw = (tuple(labels.shape[1:]) if labels is not None
-                      else tuple(road.shape[1:]))
-            up_road, up_cluster = (np.asarray(a) for a in upsample_masks(
-                road, cluster, out_hw))
+                      else tuple(road_np.shape[1:]))
+            # full-res masks are a deterministic NN upsample of the
+            # small masks already on the host: replicate it with cv2
+            # (nn_resize_cv2 IS the cv2 convention, bit-identical —
+            # tests/test_ops_core.py) instead of downloading ~4 MB/img
+            # of device-upsampled uint8 (the old save path's dominant
+            # cost: ~120 MB/batch on a ~25 MB/s downlink)
+            cluster_np = np.asarray(handles.get("cluster", cluster))
+
+            def _up(arr):  # road may be full-res already (overlaps)
+                if tuple(arr.shape[1:]) == out_hw:
+                    return arr.astype(np.uint8)
+                return np.stack([cv2.resize(
+                    a.astype(np.uint8), (out_hw[1], out_hw[0]),
+                    interpolation=cv2.INTER_NEAREST) for a in arr])
+
+            up_road, up_cluster = _up(road_np), _up(cluster_np)
             os.makedirs(cfg.out_dir, exist_ok=True)
 
         times = timers.finish()

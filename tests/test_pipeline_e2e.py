@@ -524,3 +524,48 @@ class TestMultiGroupDispatch:
         for r1, rg in zip(recs[1], recs[2]):
             for k in ("TP", "FP", "FN", "kmeans_iters"):
                 assert r1[k] == rg[k], (k, r1[k], rg[k])
+
+
+class TestHostSavePath:
+    """Saved full-res masks derive on the HOST from the already-fetched
+    small masks (cv2 NN == device nn_resize_cv2, bit-identical) — the
+    old save path downloaded ~4 MB/img of device-upsampled uint8."""
+
+    def test_saved_masks_equal_device_upsample(self, tmp_path):
+        import glob
+        import os
+
+        import jax.numpy as jnp
+
+        from spalign_tpu.ops.resize import nn_resize_cv2
+        from spalign_tpu.pipeline.label_gen import SpalignLabelGenerator
+
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False)
+        cfg = LabelGenConfig(batchsize=3, resize_shape=(112, 112),
+                             superpixel=sp, save_masks=True,
+                             out_dir=str(tmp_path / "out"))
+        ds = SyntheticRoadScenes(n=3, full_shape=(256, 512), seed=21)
+        gen = SpalignLabelGenerator(cfg, seed=9)
+
+        # oracle: the device program's small masks, upsampled ON DEVICE
+        imgs, _ = ds.resized_batch(range(3), cfg.resize_shape)
+        road, cluster, _, _ = gen.run_batch(imgs)
+        dev_road = np.asarray(nn_resize_cv2(
+            jnp.asarray(np.asarray(road)).astype(jnp.uint8), (256, 512)))
+        dev_cluster = np.asarray(nn_resize_cv2(
+            jnp.asarray(np.asarray(cluster)).astype(jnp.uint8),
+            (256, 512)))
+
+        gen2 = SpalignLabelGenerator(cfg, seed=9)  # same seed stream
+        recs = gen2.process_dataset(ds, save=True)
+        assert len(recs) == 3
+        for i in range(3):
+            base = os.path.splitext(ds.image_name(i))[0]
+            saved = np.load(os.path.join(cfg.out_dir, base + ".npy"))
+            saved_c = np.load(os.path.join(
+                cfg.out_dir, base + "_all_cluster.npy"))
+            assert saved.shape == (256, 512) and saved.dtype == np.uint8
+            np.testing.assert_array_equal(saved, dev_road[i])
+            np.testing.assert_array_equal(saved_c, dev_cluster[i])
