@@ -53,7 +53,12 @@ def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _init_centers(h: int, w: int, n_segments: int):
-    """Regular-grid center positions (static, python-time)."""
+    """Regular-grid center positions (static, python-time).
+
+    Returns (centers_yx (gy*gx, 2) row-major, step, gy, gx) — the grid
+    dims travel WITH the centers so consumers (the own-cell fallback,
+    the cell-windowed variant) cannot desynchronize from this rounding.
+    """
     import numpy as np
 
     step = (h * w / n_segments) ** 0.5
@@ -63,7 +68,7 @@ def _init_centers(h: int, w: int, n_segments: int):
     xs = (np.arange(gx) + 0.5) * (w / gx)
     yy, xx = np.meshgrid(ys, xs, indexing="ij")
     return (np.stack([yy.ravel(), xx.ravel()], axis=-1).astype("float32"),
-            step)
+            step, gy, gx)
 
 
 def slic_grid_size(h: int, w: int, n_segments: int) -> int:
@@ -121,7 +126,7 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
     XLA path measured faster (see kernels/experimental/__init__.py).
 """
     h, w, _ = image.shape
-    centers_yx_np, step = _init_centers(h, w, n_segments)
+    centers_yx_np, step, gy, gx = _init_centers(h, w, n_segments)
     k = centers_yx_np.shape[0]
 
     img01 = image.astype(jnp.float32) / 255.0
@@ -184,10 +189,6 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
         centers = jax.lax.fori_loop(0, n_iter, body, centers)
         return assign(centers).reshape(h, w)
 
-    # grid dims (row-major center ids: id = i * gx + j)
-    step_raw = (h * w / n_segments) ** 0.5
-    gy = max(1, int(round(h / step_raw)))
-    gx = max(1, int(round(w / step_raw)))
     if use_cellwin is None:
         # Measured on TPU v5e at the bench unit shape (150 x 224^2,
         # K=100, 10 iters): dense 109 ms vs cell-windowed 228 ms
@@ -199,6 +200,13 @@ def slic(image: jnp.ndarray, n_segments: int = 100,
         # kept opt-in with an agreement test.  (On TPU the two differ
         # at region boundaries: the dense distance matmul executes in
         # bf16 on the MXU, the windowed broadcasts in exact f32.)
+        use_cellwin = False
+    if use_cellwin and (gy < 5 or gx < 5 or h / gy < step - 1e-6
+                        or w / gx < step - 1e-6):
+        # the 5x5 candidate window provably covers the dense rule only
+        # when cells are at least `step` wide (a 2*step window then
+        # spans <= 2 cells); grid rounding can make cells smaller, and
+        # thin grids have no real window to exploit — use dense
         use_cellwin = False
     if use_cellwin:
         return _slic_cellwin(lab, centers, gy, gx, k, step, scale,
@@ -288,7 +296,6 @@ def _slic_cellwin(lab, centers0, gy, gx, k, step, scale, n_iter):
     cand_ok = cand_ids_j >= 0  # (gy, gx, 25)
 
     ps = cells * scale[None, None, None, :]
-    ps2 = jnp.sum(ps * ps, -1)  # (gy, gx, P)
 
     def windows(grid):
         """(gy+4, gx+4, D) padded grid -> (gy, gx, 25, D) shifted views."""

@@ -21,7 +21,7 @@ covers ragged batches.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -205,29 +205,34 @@ def _lloyd(X, weights, valid, assign0, *, k_slots: int, cluster_valid,
 
 
 def paint_clusters(superpixels: jnp.ndarray,
-                   assignment: jnp.ndarray) -> jnp.ndarray:
+                   assignment: jnp.ndarray,
+                   max_id: Optional[int] = None) -> jnp.ndarray:
     """Broadcast per-superpixel cluster ids back onto pixel maps.
 
     Replaces the reference's per-superpixel painting loop
     (batch_spalign_kmeans.py:191-199).  On TPU a per-pixel gather from
     the (S,) table serializes (measured 60 ms/unit at the bench shape,
     the LARGEST piece of the cluster stage — tools/cluster_probe.py);
-    for small S the one-hot MXU contraction is ~6x faster and EXACT:
-    each output dot has exactly one nonzero term (1.0 * cluster_id),
-    representable even in the MXU's bf16 pass.  Large-S maps (the
-    felzenszwalb configs) keep the gather — their (HW, S) one-hot would
-    not fit sensibly, and those modes are host-bound anyway.
+    for small S the one-hot MXU contraction is ~6x faster and exact
+    PROVIDED the ids are bf16-representable: each output dot has
+    exactly one nonzero term (1.0 * cluster_id), and the TPU MXU's
+    default one-bf16-pass matmul represents integers only up to 256.
+    Callers therefore pass ``max_id`` (their cluster count); without it,
+    or beyond 256, or for large S (the felzenszwalb configs, whose
+    (HW, S) one-hot would not fit sensibly), the gather is used.
 
     Args:
       superpixels: (B, H, W) int32 contiguous per-image ids in [0, S).
       assignment: (B, S) int32 cluster id per superpixel slot.
+      max_id: static exclusive upper bound on the assignment values
+        (the k of the k-means that produced them).
 
     Returns:
       (B, H, W) int32 cluster map.  Road mask = (map == 0).
     """
     b = superpixels.shape[0]
     s = assignment.shape[1]
-    if s <= 512:
+    if s <= 512 and max_id is not None and max_id <= 256:
         flat = superpixels.reshape(b, -1)
         onehot = (flat[..., None] == jnp.arange(s, dtype=flat.dtype)
                   ).astype(jnp.float32)  # (B, HW, S)

@@ -84,9 +84,9 @@ def _align_and_prior(feature_maps, superpixels, key, n_anchors, s,
     return feats, valid, prior, k_seed
 
 
-def _paint(superpixels, res, b, s):
+def _paint(superpixels, res, b, s, max_id):
     assign = res.assignment.reshape(b, s)
-    cluster_maps = paint_clusters(superpixels, assign)
+    cluster_maps = paint_clusters(superpixels, assign, max_id=max_id)
     return cluster_maps == 0, cluster_maps, assign
 
 
@@ -116,7 +116,7 @@ def spalign_cluster(feature_maps, superpixels, key, *, n_anchors: int,
         prior_params)
     res = weighted_kmeans(feats.reshape(b * s, -1), prior.reshape(-1),
                           valid.reshape(-1), k_seed, k=k, n_iter=n_iter)
-    road_masks, cluster_maps, assign = _paint(superpixels, res, b, s)
+    road_masks, cluster_maps, assign = _paint(superpixels, res, b, s, k)
     return road_masks, cluster_maps, assign, res
 
 
@@ -140,7 +140,8 @@ def spalign_cluster_dynamic(feature_maps, superpixels, key, k, *,
     res = weighted_kmeans_dynamic(
         feats.reshape(b * s, -1), prior.reshape(-1), valid.reshape(-1),
         k_seed, k, k_max=k_max, n_iter=n_iter)
-    road_masks, cluster_maps, assign = _paint(superpixels, res, b, s)
+    road_masks, cluster_maps, assign = _paint(superpixels, res, b, s,
+                                              k_max)
     return road_masks, cluster_maps, assign, res
 
 
@@ -507,6 +508,9 @@ class LabelGeneratorBase:
         #     per-unit fetch round-trip (the retry predicate + scores)
         #     never leaves the device channel idle.
         records = []
+        # finish_batch rides the small cluster maps on its combined
+        # fetch only when the save path will consume them
+        self._want_cluster_np = bool(save or cfg.save_images)
         from collections import deque
 
         pending = deque()
@@ -615,7 +619,9 @@ class LabelGeneratorBase:
             # tests/test_ops_core.py) instead of downloading ~4 MB/img
             # of device-upsampled uint8 (the old save path's dominant
             # cost: ~120 MB/batch on a ~25 MB/s downlink)
-            cluster_np = np.asarray(handles.get("cluster", cluster))
+            cluster_np = handles.get("cluster_np")
+            if cluster_np is None:
+                cluster_np = np.asarray(handles.get("cluster", cluster))
 
             def _up(arr):  # road may be full-res already (overlaps)
                 if tuple(arr.shape[1:]) == out_hw:
@@ -875,7 +881,8 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                 valid.reshape(-1), assign0.reshape(-1),
                 k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter)
             assign = res.assignment.reshape(b, s)
-            cluster = paint_clusters(sps, assign)
+            cluster = paint_clusters(sps, assign,
+                                     max_id=cfg.kmeans.n_clusters)
             road = cluster == 0
             ok = jnp.all(jnp.any(road, axis=(1, 2)))
             return road, cluster, assign, res, ok
@@ -963,12 +970,17 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                 # the scoring path.
                 fetch = [res.n_iter, res.converged, res.empty_stop,
                          handles["ok"]]
+                extra = []
                 if "road_packed" in handles:
+                    extra.append("road_packed_np")
                     fetch.append(handles["road_packed"])
+                if getattr(self, "_want_cluster_np", False):
+                    extra.append("cluster_np")  # save path consumes it
+                    fetch.append(handles["cluster"])
                 got = jax.device_get(fetch)
                 n_it, conv, empty, ok_np = got[:4]
-                if len(got) > 4:
-                    handles["road_packed_np"] = got[4]
+                for name, val in zip(extra, got[4:]):
+                    handles[name] = val
                 if bool(np.all(ok_np)) or attempt + 1 >= max(
                         1, cfg.kmeans.max_retries):
                     break

@@ -36,14 +36,17 @@ _PREDICT_CACHE: dict = {}
 
 def _host_confusion_remapped(pred_bool: np.ndarray,
                              gt: np.ndarray) -> np.ndarray:
-    """2x2 confusion conf[gt][pred] for gt in {-1,0,1} (-1 = void,
-    excluded).  Runs on the HOST from the already-downloaded preds:
-    shipping 2 MB/img of gt UP the scarce uplink for a 2x2 result back
-    is the wrong direction (same reasoning as label_gen.host_confusion).
-    One add + bincount, no boolean indexing (~20 ms per 2 MP image)."""
-    idx = ((gt.astype(np.int64) + 1) * 2
-           + pred_bool.astype(np.int64)).ravel()
-    c = np.bincount(idx, minlength=6)
+    """2x2 confusion conf[gt][pred] for gt in {-1,0,1}.  Any gt outside
+    {0,1} is void/ignored (the device confusion_matrix this replaces
+    masked every gt < 0; clipping keeps e.g. a stray -100 harmless
+    instead of crashing bincount).  Runs on the HOST from the
+    already-downloaded preds: shipping 2 MB/img of gt UP the scarce
+    uplink for a 2x2 result back is the wrong direction (same reasoning
+    as label_gen.host_confusion).  One add + bincount, no boolean
+    indexing (~20 ms per 2 MP image)."""
+    gt_i = np.clip(gt.astype(np.int64), -1, 2)  # void rows: -1 and 2
+    idx = ((gt_i + 1) * 2 + pred_bool.astype(np.int64)).ravel()
+    c = np.bincount(idx, minlength=8)
     return np.array([[c[2], c[3]], [c[4], c[5]]], np.int64)
 
 
@@ -206,15 +209,18 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         return out
 
     try:
-        model_key = hash(model)
+        cache_key = (hash(model), type(model).__name__,
+                     tuple(eval_shape), bool(soft_label), str(score_jnp),
+                     std_mean.tobytes(), std_std.tobytes(), mesh is None)
     except TypeError:
-        model_key = id(model)
-    cache_key = (model_key, tuple(eval_shape), bool(soft_label),
-                 str(score_jnp), std_mean.tobytes(), std_std.tobytes(),
-                 mesh is None)
-    predict = _PREDICT_CACHE.get(cache_key)
+        # an unhashable model cannot be keyed safely (id() can be
+        # recycled by a later, different model) — skip caching
+        cache_key = None
+    predict = _PREDICT_CACHE.get(cache_key) if cache_key else None
     if predict is None:
-        predict = _PREDICT_CACHE[cache_key] = jax.jit(_predict)
+        predict = jax.jit(_predict)
+        if cache_key:
+            _PREDICT_CACHE[cache_key] = predict
 
     each_dir = None
     if save_each:
@@ -263,8 +269,13 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
     def finish(loaded, handles):
         idx, imgs, gts = loaded
         got = jax.device_get(handles)  # ONE tunnel round trip per batch
-        preds_np = unpack_mask_bits(got["packed"], eval_shape[1])
-        scores_np = got.get("score") if soft_label else None
+        # drop the static-shape padding rows BEFORE the host-side work
+        # below (a 1-image tail batch must not pay batch_size-1 wasted
+        # full-res resizes on this 1-core host)
+        preds_np = unpack_mask_bits(got["packed"],
+                                    eval_shape[1])[:len(idx)]
+        scores_np = (got.get("score")[:len(idx)]
+                     if soft_label else None)
         if scores_np is not None and scores_np.shape[2:] != tuple(
                 eval_shape):
             # the device sent the network-resolution score; replicate

@@ -28,7 +28,7 @@ def test_pallas_assignment_matches_xla(rng):
     h = w = 64  # HW = 4096 = 8 * TILE
     img = rng.randint(0, 255, (h, w, 3)).astype(np.float32)
     lab = np.asarray(rgb_to_lab(jnp.asarray(img / 255.0)))
-    centers_yx, step = _init_centers(h, w, 40)
+    centers_yx, step = _init_centers(h, w, 40)[:2]
     k = centers_yx.shape[0]
     c_lab = lab[np.clip(centers_yx[:, 0].astype(int), 0, h - 1),
                 np.clip(centers_yx[:, 1].astype(int), 0, w - 1)]
@@ -69,7 +69,7 @@ def test_padded_pixels_get_some_label(rng):
     h, w = 48, 56  # 2688 -> pad to 3072
     img = rng.randint(0, 255, (h, w, 3)).astype(np.float32)
     lab = np.asarray(rgb_to_lab(jnp.asarray(img / 255.0)))
-    centers_yx, step = _init_centers(h, w, 12)
+    centers_yx, step = _init_centers(h, w, 12)[:2]
     k = centers_yx.shape[0]
     c_lab = lab[np.clip(centers_yx[:, 0].astype(int), 0, h - 1),
                 np.clip(centers_yx[:, 1].astype(int), 0, w - 1)]
@@ -94,7 +94,7 @@ class TestFusedLloyd:
 
         h, w, _ = img.shape
         lab = rgb_to_lab(jnp.asarray(img / 255.0))
-        centers_np, step = _init_centers(h, w, n_seg)
+        centers_np, step = _init_centers(h, w, n_seg)[:2]
         k = centers_np.shape[0]
         cy = jnp.asarray(centers_np[:, 0])
         cx = jnp.asarray(centers_np[:, 1])
