@@ -177,8 +177,26 @@ class DirectLabelGenerator(LabelGeneratorBase):
     def finish_batch(self, prepared, handles, timers):
         res = handles["res"]
         with timers.stage("kmeans"):
-            n_it, conv, empty = jax.device_get(
-                (res.n_iter, res.converged, res.empty_stop))
+            # everything the host consumes rides ONE device_get (each
+            # separate fetch costs a full tunnel round trip): the diag
+            # scalars, the masks the scoring path reads (bit-packed for
+            # overlaps' full-res output, tiny feature-res bools here),
+            # and — when the save path will need them — the cluster maps
+            fetch = [res.n_iter, res.converged, res.empty_stop]
+            extra = []
+            if "road_packed" in handles:
+                extra.append("road_packed_np")
+                fetch.append(handles["road_packed"])
+            else:
+                extra.append("road_np")
+                fetch.append(handles["road"])
+            if getattr(self, "_want_cluster_np", False):
+                extra.append("cluster_np")
+                fetch.append(handles["cluster"])
+            got = jax.device_get(fetch)
+            n_it, conv, empty = got[:3]
+            for name, val in zip(extra, got[3:]):
+                handles[name] = val
         diag = {"_per_group": {
             "kmeans_iters": np.atleast_1d(n_it).astype(int).tolist(),
             "kmeans_converged": np.atleast_1d(conv).astype(bool).tolist(),

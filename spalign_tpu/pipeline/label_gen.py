@@ -591,6 +591,8 @@ class LabelGeneratorBase:
                 # already landed by finish_batch's combined fetch
                 road_np = unpack_mask_bits(handles["road_packed_np"],
                                            road.shape[-1])
+            elif "road_np" in handles:  # landed unpacked (direct mode)
+                road_np = handles["road_np"]
             elif "road_packed" in handles:
                 road_np = unpack_mask_bits(
                     np.asarray(handles["road_packed"]), road.shape[-1])
