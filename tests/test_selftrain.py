@@ -435,3 +435,52 @@ def test_relabel_small_score_downlink_matches_device_resize(tmp_path):
                                        atol=2e-3)
             np.testing.assert_allclose(sc[1], score[i, :, :, 1],
                                        atol=2e-3)
+
+
+def test_relabel_sharded_equals_unsharded(tmp_path):
+    """relabel_dataset(mesh=...) shards the predict batch over the data
+    axis (the reference sharded relabeling across GPU worker processes,
+    run_train_rounds.py:206-247); outputs must be bit-identical to the
+    unsharded pass."""
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.parallel import make_mesh
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    adapter = RelabelAdapter(ds)
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, *HW, 3), np.float32))
+
+    def run(tag, mesh):
+        out = str(tmp_path / f"{tag}.0.zip")
+        recs = relabel_dataset(model, variables, adapter, out,
+                               eval_shape=HW, batch_size=4,
+                               soft_label=True, mesh=mesh,
+                               score_dtype=np.float16)
+        arrays = {}
+        with np.load(out) as npz:
+            for k in npz.files:
+                arrays[k] = npz[k]
+        return recs, arrays
+
+    recs1, a1 = run("unsharded", None)
+    recs4, a4 = run("sharded", make_mesh(4))
+    assert set(a1) == set(a4)
+    for k in a1:
+        if k.endswith("_scores"):
+            # sharded conv reductions reassociate: scores may differ by
+            # one f16 ulp on a handful of pixels
+            np.testing.assert_allclose(a1[k].astype(np.float32),
+                                       a4[k].astype(np.float32),
+                                       atol=1.5e-3)
+        else:
+            # preds may flip only where the score is a coin toss
+            flipped = a1[k] != a4[k]
+            if flipped.any():
+                s = a1[k + "_scores"][1].astype(np.float32)
+                assert (np.abs(s[flipped] - 0.5) < 2e-3).all()
+    for r1, r4 in zip(recs1, recs4):
+        assert r1["img_fn"] == r4["img_fn"]
