@@ -142,8 +142,12 @@ def _label_gen_cfg(mode: str):
         sp = SuperpixelConfig(method="slic", n_slic_segments=1024,
                               slic_iters=5, max_superpixels=2048,
                               slic_enforce_connectivity=False)
+        # yuv420 halves BOTH uploads: the 224^2 clustering batch AND the
+        # full-res frames the device superpixels consume (the binding
+        # cost: ~6 MB/img raw at 2 MP)
         return LabelGenConfig(mode="overlaps", batchsize=8,
-                              superpixel=sp, save_masks=False)
+                              superpixel=sp, upload_format="yuv420",
+                              save_masks=False)
     raise ValueError(mode)
 
 

@@ -239,10 +239,25 @@ class OverlapsLabelGenerator(DirectLabelGenerator):
                     f"SLIC grid {s_grid} > max_superpixels "
                     f"{spcfg.max_superpixels}")
             with timers.stage("superpixel"):
-                full_dev = self._put(np.ascontiguousarray(full_images))
-                sps = batched_slic_device(
-                    spcfg.n_slic_segments, spcfg.slic_compactness,
-                    spcfg.slic_iters)(full_dev)
+                if (self.cfg.upload_format == "yuv420"
+                        and h % 2 == 0 and w % 2 == 0):
+                    # the FULL-res upload is this mode's binding cost
+                    # (~6 MB/img raw at 2 MP); 1.5 B/px halves it
+                    from spalign_tpu.pipeline.superpixels import \
+                        batched_slic_device_yuv
+                    from spalign_tpu.pipeline.wire import pack_yuv420
+
+                    full_dev = self._put(pack_yuv420(
+                        np.ascontiguousarray(full_images)))
+                    sps = batched_slic_device_yuv(
+                        spcfg.n_slic_segments, spcfg.slic_compactness,
+                        spcfg.slic_iters, (h, w))(full_dev)
+                else:
+                    full_dev = self._put(np.ascontiguousarray(
+                        full_images))
+                    sps = batched_slic_device(
+                        spcfg.n_slic_segments, spcfg.slic_compactness,
+                        spcfg.slic_iters)(full_dev)
                 counts = np.full((b,), s_grid, np.int32)
         else:
             with timers.stage("superpixel"):

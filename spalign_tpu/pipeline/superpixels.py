@@ -48,6 +48,22 @@ def batched_slic_device(n_segments: int, compactness: float,
         n_iter=n_iter)))
 
 
+@_lru_cache(maxsize=None)
+def batched_slic_device_yuv(n_segments: int, compactness: float,
+                            n_iter: int, hw: tuple):
+    """``batched_slic_device`` consuming YUV420-packed batches
+    (pipeline/wire.py): the overlaps mode uploads FULL-resolution
+    images for its device superpixels — at 2 MP that upload IS the
+    pipeline (~6 MB/img raw); the wire format halves it and the decode
+    runs in-program before the RGB->LAB conversion."""
+    from spalign_tpu.pipeline.wire import decode_yuv420
+
+    return jax.jit(lambda packed: jax.vmap(lambda im: slic(
+        im.astype(jnp.float32), n_segments=n_segments,
+        compactness=compactness, n_iter=n_iter))(
+        decode_yuv420(packed, hw)))
+
+
 def _felzenszwalb_batch(images_hwc: np.ndarray, cfg: SuperpixelConfig,
                         workers: int = 8):
     def one(img):

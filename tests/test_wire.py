@@ -124,3 +124,25 @@ class TestPipelineQuality:
         recs = gen.process_dataset(ds, save=False)
         assert len(recs) == 3
         assert all(np.isfinite(r["road_iou"]) for r in recs)
+
+
+class TestOverlapsWire:
+    def test_overlaps_slic_yuv420_quality_gate(self):
+        """Overlaps mode with the device-SLIC frontend ships BOTH
+        uploads (clustering batch + full-res frames) as YUV420; road
+        IoU must stay within run noise of the rgb8 wire."""
+        from spalign_tpu.pipeline.direct import OverlapsLabelGenerator
+
+        ds = SyntheticRoadScenes(n=4, full_shape=(128, 256), seed=37)
+        ious = {}
+        for fmt in ("rgb8", "yuv420"):
+            sp = SuperpixelConfig(method="slic", n_slic_segments=64,
+                                  slic_iters=3, max_superpixels=128,
+                                  slic_enforce_connectivity=False)
+            cfg = LabelGenConfig(mode="overlaps", batchsize=2,
+                                 resize_shape=(112, 112), superpixel=sp,
+                                 save_masks=False, upload_format=fmt)
+            gen = OverlapsLabelGenerator(cfg, seed=5)
+            recs = gen.process_dataset(ds, save=False)
+            ious[fmt] = float(np.mean([r["road_iou"] for r in recs]))
+        assert abs(ious["rgb8"] - ious["yuv420"]) < 0.12, ious
