@@ -418,9 +418,12 @@ def bench_relabel(breakdown: bool = False) -> dict:
             "vs_baseline": round(float(imgs_per_sec / 3.0), 2)}
 
 
-def bench_train(breakdown: bool = False) -> dict:
+def bench_train(breakdown: bool = False,
+                compute_dtype: str = "float32") -> dict:
     """SegNetBasic train step at the full reference recipe
-    (train_segnet.py:41-94: 512x1024 crops, global batch 8, Adam, CE)."""
+    (train_segnet.py:41-94: 512x1024 crops, global batch 8, Adam, CE).
+    compute_dtype='bfloat16' benches the --compute_dtype option
+    (measured 257.3/197.1 ms interleaved, docs/train_profile.md)."""
     import jax
 
     from spalign_tpu.config import TrainConfig
@@ -429,7 +432,8 @@ def bench_train(breakdown: bool = False) -> dict:
                                            make_train_step)
 
     cfg = TrainConfig(model="basic", batchsize=8, optimizer="Adam",
-                      loss="ce", input_shape=(512, 1024))
+                      loss="ce", input_shape=(512, 1024),
+                      compute_dtype=compute_dtype)
     n_dev = 1
     while cfg.batchsize % (n_dev * 2) == 0 and n_dev * 2 <= len(
             jax.devices()):
@@ -487,7 +491,9 @@ def bench_train(breakdown: bool = False) -> dict:
         except Exception as e:
             print(f"    (train FLOP probe unavailable: {e})",
                   file=sys.stderr)
-    return {"metric": "segnet_train_ms_per_step",
+    metric = ("segnet_train_ms_per_step" if compute_dtype == "float32"
+              else f"segnet_train_{compute_dtype}_ms_per_step")
+    return {"metric": metric,
             "value": round(ms, 2), "unit": "ms/step",
             "vs_baseline": round(REFERENCE_TRAIN_MS_PER_STEP / ms, 2)}
 
@@ -497,7 +503,7 @@ def main():
     p.add_argument("--mode", default="slic",
                    choices=["slic", "slic_cc", "felzenszwalb", "direct",
                             "overlaps", "overlaps_slic", "relabel",
-                            "train", "all"])
+                            "train", "train_bf16", "all"])
     p.add_argument("--breakdown", action="store_true",
                    help="print per-stage means + MFU estimate to stderr")
     args = p.parse_args()
@@ -530,6 +536,8 @@ def main():
              if args.mode == "all" else [args.mode])
     for m in modes:
         row = (bench_train(args.breakdown) if m == "train"
+               else bench_train(args.breakdown, "bfloat16")
+               if m == "train_bf16"
                else bench_relabel(args.breakdown) if m == "relabel"
                else bench_label_gen(m, args.breakdown))
         print(json.dumps(row), flush=True)
