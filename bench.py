@@ -532,7 +532,7 @@ def main():
         pass
 
     modes = (["slic", "slic_cc", "felzenszwalb", "direct", "overlaps",
-              "overlaps_slic", "relabel", "train"]
+              "overlaps_slic", "relabel", "train", "train_bf16"]
              if args.mode == "all" else [args.mode])
     for m in modes:
         row = (bench_train(args.breakdown) if m == "train"
