@@ -266,9 +266,8 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
             batch = shard_batch(mesh, batch)
         return predict(variables, batch)
 
-    def finish(loaded, handles):
+    def finish(loaded, got):
         idx, imgs, gts = loaded
-        got = jax.device_get(handles)  # ONE tunnel round trip per batch
         # drop the static-shape padding rows BEFORE the host-side work
         # below (a 1-image tail batch must not pay batch_size-1 wasted
         # full-res resizes on this 1-core host)
@@ -338,34 +337,50 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    # The runtime's transfers are PULL-model: the downlink only moves
+    # while a device_get is blocked on it.  Fetching on a dedicated
+    # thread (ONE combined device_get per batch, submitted right after
+    # dispatch) lets batch N+1's ~10 MB score downlink stream while the
+    # main thread does batch N's host work (upsample, ch1, confusion,
+    # zip) — device_get releases the GIL during the socket wait, so the
+    # overlap is real even on this 1-core host.
     pending = deque()
     try:
-        if prefetch > 0 and len(slices) > 1:
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                futures = deque()
-                it = iter(slices)
+        with ThreadPoolExecutor(max_workers=1) as fetcher:
 
-                def submit_next():
-                    sl = next(it, None)
-                    if sl is not None:
-                        futures.append(ex.submit(load, sl))
+            def enqueue(loaded):
+                handles = dispatch(loaded)
+                pending.append((loaded,
+                                fetcher.submit(jax.device_get, handles)))
 
-                for _ in range(max(1, prefetch)):
-                    submit_next()
-                while futures:
-                    loaded = futures.popleft().result()
-                    submit_next()
-                    pending.append((loaded, dispatch(loaded)))
+            if prefetch > 0 and len(slices) > 1:
+                with ThreadPoolExecutor(max_workers=1) as ex:
+                    futures = deque()
+                    it = iter(slices)
+
+                    def submit_next():
+                        sl = next(it, None)
+                        if sl is not None:
+                            futures.append(ex.submit(load, sl))
+
+                    for _ in range(max(1, prefetch)):
+                        submit_next()
+                    while futures:
+                        loaded = futures.popleft().result()
+                        submit_next()
+                        enqueue(loaded)
+                        if len(pending) > in_flight:
+                            loaded0, fut = pending.popleft()
+                            finish(loaded0, fut.result())
+            else:
+                for sl in slices:
+                    enqueue(load(sl))
                     if len(pending) > in_flight:
-                        finish(*pending.popleft())
-        else:
-            for sl in slices:
-                loaded = load(sl)
-                pending.append((loaded, dispatch(loaded)))
-                if len(pending) > in_flight:
-                    finish(*pending.popleft())
-        while pending:
-            finish(*pending.popleft())
+                        loaded0, fut = pending.popleft()
+                        finish(loaded0, fut.result())
+            while pending:
+                loaded0, fut = pending.popleft()
+                finish(loaded0, fut.result())
     finally:
         if writer is not None:
             writer.close()
