@@ -95,6 +95,12 @@ def _label_gen_cfg(mode: str):
                               groups_per_dispatch=GROUPS,
                               upload_format="yuv420",
                               save_masks=False)
+    if mode == "slic_scored":
+        # the flagship config WITH full-res GT scoring — the reference's
+        # actual workload shape (batch_spalign_kmeans.py scores every
+        # image); the host-side confusion runs in the native C++ scorer
+        # (native.confusion_vs_labelids)
+        return _label_gen_cfg("slic")
     if mode == "slic_cc":
         # skimage-parity SLIC: host union-find connectivity pass
         sp = SuperpixelConfig(method="slic", n_slic_segments=100,
@@ -152,14 +158,16 @@ def _label_gen_cfg(mode: str):
 
 
 class _InMemory:
-    """Unlabeled dataset of pre-rendered frames (image DECODE cost is a
-    property of the storage format, not the pipeline; the real loader
-    prefetches it behind device compute anyway)."""
+    """Dataset of pre-rendered frames (image DECODE cost is a property
+    of the storage format, not the pipeline; the real loader prefetches
+    it behind device compute anyway).  ``labels`` (full-res labelIds)
+    turn on the GT-scoring path."""
 
     def __init__(self, frames, fulls=None, n_batches=N_BATCHES_TIMED,
-                 batch=BATCH):
+                 batch=BATCH, labels=None):
         self.frames = frames
         self.fulls = fulls
+        self.labels = labels
         self.n_src = len(frames)
         self.n_batches = n_batches
         self.batch = batch
@@ -170,8 +178,13 @@ class _InMemory:
     def image_name(self, i):
         return f"bench_{i:06d}.png"
 
+    def label_name(self, i):
+        return f"bench_{i:06d}_labelIds.png"
+
     def resized_batch(self, indices, hw):
-        return self.frames[[i % self.n_src for i in indices]], None
+        idx = [i % self.n_src for i in indices]
+        labs = self.labels[idx] if self.labels is not None else None
+        return self.frames[idx], labs
 
     def full_images(self, indices):
         return self.fulls[[i % self.n_src for i in indices]]
@@ -183,6 +196,7 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     from spalign_tpu.data.synthetic import SyntheticRoadScenes
     from spalign_tpu.pipeline.direct import make_label_generator
 
+    scored = mode == "slic_scored"
     cfg = _label_gen_cfg(mode)
     bs = cfg.batchsize
     # overlaps is host-bound on FULL-RES felzenszwalb (~1 s/img on this
@@ -191,7 +205,7 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     # short stalls, so more reps buy real tail protection.
     n_batches, reps = (2, 1) if mode == "overlaps" else (N_BATCHES_TIMED,
                                                          5)
-    if mode == "slic":
+    if mode in ("slic", "slic_scored"):
         # multi-group dispatch: time 3 units of GROUPS batches so the
         # in-flight pipeline still overlaps units
         n_batches = 3 * GROUPS
@@ -200,13 +214,14 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     ds = SyntheticRoadScenes(n=bs * 2, full_shape=FULL_SHAPE, seed=7)
     gen = make_label_generator(cfg)
 
-    imgs_a, _ = ds.resized_batch(range(bs), cfg.resize_shape)
-    imgs_b, _ = ds.resized_batch(range(bs, 2 * bs), cfg.resize_shape)
+    imgs_a, la = ds.resized_batch(range(bs), cfg.resize_shape)
+    imgs_b, lb = ds.resized_batch(range(bs, 2 * bs), cfg.resize_shape)
     fulls = None
     if gen.needs_full_images:
         fulls = np.stack([ds[i][0] for i in range(2 * bs)])
+    labels = (np.concatenate([la, lb]) if scored else None)
     mem = _InMemory(np.concatenate([imgs_a, imgs_b]), fulls,
-                    n_batches=n_batches, batch=bs)
+                    n_batches=n_batches, batch=bs, labels=labels)
 
     # The unlabeled/no-save path never fetches the masks; the bench must
     # (they are the pipeline's product, and on this runtime a host fetch
@@ -245,6 +260,9 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
 
     metric = ("label_gen_images_per_sec" if mode == "slic"
               else f"label_gen_{mode}_images_per_sec")
+    if scored:
+        assert all(np.isfinite(r.get("road_iou", np.nan))
+                   for r in best_records)
     base = {"overlaps": REFERENCE_OVERLAPS_IMAGES_PER_SEC,
             "overlaps_slic": REFERENCE_OVERLAPS_IMAGES_PER_SEC,
             "direct": REFERENCE_DIRECT_IMAGES_PER_SEC}.get(
@@ -502,8 +520,8 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="slic",
                    choices=["slic", "slic_cc", "felzenszwalb", "direct",
-                            "overlaps", "overlaps_slic", "relabel",
-                            "train", "train_bf16", "all"])
+                            "slic_scored", "overlaps", "overlaps_slic",
+                            "relabel", "train", "train_bf16", "all"])
     p.add_argument("--breakdown", action="store_true",
                    help="print per-stage means + MFU estimate to stderr")
     args = p.parse_args()
@@ -531,8 +549,9 @@ def main():
     except Exception:
         pass
 
-    modes = (["slic", "slic_cc", "felzenszwalb", "direct", "overlaps",
-              "overlaps_slic", "relabel", "train", "train_bf16"]
+    modes = (["slic", "slic_scored", "slic_cc", "felzenszwalb",
+              "direct", "overlaps", "overlaps_slic", "relabel", "train",
+              "train_bf16"]
              if args.mode == "all" else [args.mode])
     for m in modes:
         row = (bench_train(args.breakdown) if m == "train"

@@ -62,6 +62,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.spalign_confusion.restype = ctypes.c_int32
+        lib.spalign_confusion.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -107,6 +113,30 @@ def enforce_connectivity(labels: np.ndarray, min_size: int = 1) -> np.ndarray:
             raise ValueError("enforce_connectivity: invalid arguments")
         return out
     return _enforce_connectivity_np(lab, min_size)
+
+
+def confusion_vs_labelids(pred_small: np.ndarray,
+                          label_ids_full: np.ndarray):
+    """Fused NN-upsample + remap + 2x2 confusion of a small road mask
+    against full-resolution RAW Cityscapes labelIds, one C++ pass
+    (~4 ms per 2 MP image vs ~22 ms for the numpy chain it replaces).
+    Returns a (2, 2) int64 conf[gt][pred], or None when the native
+    library is unavailable (callers fall back to the numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pred = np.ascontiguousarray(pred_small, dtype=np.uint8)
+    gt = np.ascontiguousarray(label_ids_full, dtype=np.uint8)
+    out = np.empty((4,), np.int64)
+    ph, pw = pred.shape
+    h, w = gt.shape
+    rc = lib.spalign_confusion(
+        pred.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ph, pw,
+        gt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc < 0:
+        raise ValueError("spalign_confusion: invalid arguments")
+    return out.reshape(2, 2)
 
 
 # ------------------------- numpy fallbacks ---------------------------------

@@ -316,4 +316,47 @@ int32_t spalign_enforce_connectivity(const int32_t* labels_in, int32_t h,
   return relabel(ds, (int32_t)n, labels_out);
 }
 
+
+// Fused full-resolution confusion scorer: NN-upsample the small
+// (ph, pw) road mask to (H, W) (the float32 index convention of
+// ops/resize.nn_resize_cv2: src = floor(dst * (src_len/dst_len)),
+// exact for the power-of-two eval shapes) and accumulate the 2x2
+// confusion against RAW Cityscapes labelIds (void 0..6 ignored, road
+// 7 -> gt 1, else gt 0) in ONE pass.  Replaces a 4-pass numpy chain
+// (cv2 resize + LUT gather + index arithmetic + bincount) that cost
+// ~22 ms per 2 MP image of single-core host time — the bottleneck of
+// every GT-scored label-generation run.  out: [tn, fp, fn, tp] i.e.
+// conf[gt][pred] row-major.  Returns 0, or -1 on invalid arguments.
+int32_t spalign_confusion(const uint8_t* pred, int32_t ph, int32_t pw,
+                          const uint8_t* gt, int32_t H, int32_t W,
+                          int64_t* out) {
+  if (!pred || !gt || !out || ph <= 0 || pw <= 0 || H <= 0 || W <= 0)
+    return -1;
+  std::vector<int32_t> xmap((size_t)W);
+  const float sx_scale = (float)pw / (float)W;
+  for (int32_t x = 0; x < W; ++x) {
+    int32_t sx = (int32_t)std::floor((float)x * sx_scale);
+    xmap[(size_t)x] = sx < 0 ? 0 : (sx >= pw ? pw - 1 : sx);
+  }
+  uint8_t lut[256];
+  for (int32_t i = 0; i < 256; ++i)
+    lut[i] = (uint8_t)(i < 7 ? 0 : (i == 7 ? 2 : 1));
+  int64_t cnt[6] = {0, 0, 0, 0, 0, 0};
+  const float sy_scale = (float)ph / (float)H;
+  for (int32_t y = 0; y < H; ++y) {
+    int32_t sy = (int32_t)std::floor((float)y * sy_scale);
+    if (sy >= ph) sy = ph - 1;
+    if (sy < 0) sy = 0;
+    const uint8_t* pr = pred + (size_t)sy * (size_t)pw;
+    const uint8_t* gr = gt + (size_t)y * (size_t)W;
+    for (int32_t x = 0; x < W; ++x)
+      cnt[lut[gr[x]] * 2 + (pr[xmap[(size_t)x]] ? 1 : 0)]++;
+  }
+  out[0] = cnt[2];
+  out[1] = cnt[3];
+  out[2] = cnt[4];
+  out[3] = cnt[5];
+  return 0;
+}
+
 }  // extern "C"

@@ -177,10 +177,17 @@ def host_confusion(road_mask: np.ndarray,
     The hot loop downloads the small clustering-resolution masks and
     scores here instead, off the serialized device channel.
 
-    Implementation: one uint8 LUT gather + one bincount over
-    ``code*2 + pred`` (codes 0/1 are void rows, dropped) — no boolean
-    indexing, ~30 ms per 2 MP image vs ~110 ms for the naive remap.
+    Implementation: the native one-pass C++ scorer
+    (native.confusion_vs_labelids — fused NN-upsample + remap + count,
+    ~4 ms per 2 MP image); numpy fallback: uint8 LUT gather + bincount
+    over ``code*2 + pred`` (~22 ms — this was the bottleneck of every
+    GT-scored run: 41 img/s scored vs 560 unscored before the C++ op).
     """
+    from spalign_tpu import native
+
+    conf = native.confusion_vs_labelids(road_mask, label_ids_full)
+    if conf is not None:
+        return conf
     import cv2
 
     h, w = label_ids_full.shape

@@ -165,3 +165,33 @@ class TestBaselineGenerators:
             for s in np.unique(sps[b]):
                 vals = road[b][sps[b] == s]
                 assert vals.all() or not vals.any()
+
+
+def test_native_confusion_matches_numpy_chain():
+    """native.confusion_vs_labelids (fused C++ NN-upsample + remap +
+    count; the GT-scoring hot path) must equal the cv2+LUT+bincount
+    chain bit-for-bit across shapes, including odd ratios."""
+    import cv2
+
+    from spalign_tpu import native
+    from spalign_tpu.pipeline.label_gen import _CONF_LUT
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(3)
+    shapes = [((224, 224), (1024, 2048)), ((28, 28), (512, 1024)),
+              ((64, 64), (64, 64)), ((33, 57), (130, 250))]
+    for (ph, pw), (hh, ww) in shapes:
+        pred = rng.rand(ph, pw) > 0.5
+        gt = rng.randint(0, 40, (hh, ww)).astype(np.uint8)
+        a = native.confusion_vs_labelids(pred, gt)
+        up = pred.astype(np.uint8)
+        if (ph, pw) != (hh, ww):
+            up = cv2.resize(up, (ww, hh),
+                            interpolation=cv2.INTER_NEAREST)
+        idx = _CONF_LUT[gt] * 2 + up
+        c = np.bincount(idx.ravel(), minlength=6)
+        b = np.array([[c[2], c[3]], [c[4], c[5]]], np.int64)
+        np.testing.assert_array_equal(a, b)
