@@ -174,28 +174,31 @@ class DirectLabelGenerator(LabelGeneratorBase):
                         self.cfg.overlap_threshold)
         return handles
 
-    def finish_batch(self, prepared, handles, timers):
+    def _build_fetch(self, handles):
+        # everything the host consumes rides ONE device_get (each
+        # separate fetch costs a full tunnel round trip): the diag
+        # scalars, the masks the scoring path reads (bit-packed for
+        # overlaps' full-res output, tiny feature-res bools here),
+        # and — when the save path will need them — the cluster maps
         res = handles["res"]
+        fetch = [res.n_iter, res.converged, res.empty_stop]
+        extra = []
+        if "road_packed" in handles:
+            extra.append("road_packed_np")
+            fetch.append(handles["road_packed"])
+        else:
+            extra.append("road_np")
+            fetch.append(handles["road"])
+        if getattr(self, "_want_cluster_np", False):
+            extra.append("cluster_np")
+            fetch.append(handles["cluster"])
+        return fetch, extra, 3
+
+    def finish_batch(self, prepared, handles, timers):
         with timers.stage("kmeans"):
-            # everything the host consumes rides ONE device_get (each
-            # separate fetch costs a full tunnel round trip): the diag
-            # scalars, the masks the scoring path reads (bit-packed for
-            # overlaps' full-res output, tiny feature-res bools here),
-            # and — when the save path will need them — the cluster maps
-            fetch = [res.n_iter, res.converged, res.empty_stop]
-            extra = []
-            if "road_packed" in handles:
-                extra.append("road_packed_np")
-                fetch.append(handles["road_packed"])
-            else:
-                extra.append("road_np")
-                fetch.append(handles["road"])
-            if getattr(self, "_want_cluster_np", False):
-                extra.append("cluster_np")
-                fetch.append(handles["cluster"])
-            got = jax.device_get(fetch)
+            got, extra, ns = self._landed_fetch(handles)
             n_it, conv, empty = got[:3]
-            for name, val in zip(extra, got[3:]):
+            for name, val in zip(extra, got[ns:]):
                 handles[name] = val
         diag = {"_per_group": {
             "kmeans_iters": np.atleast_1d(n_it).astype(int).tolist(),

@@ -21,11 +21,14 @@ downloads the small clustering-resolution masks BIT-PACKED
 uplink) and runs on the host.  Saving masks/images is optional and off
 the hot path.
 
-The host loop is a two-stage software pipeline: a producer thread
-prepares (decodes, segments, uploads) `prefetch` batches ahead, and the
+The host loop is a three-thread software pipeline: a producer thread
+prepares (decodes, segments, uploads) `prefetch` batches ahead, the
 consumer keeps `in_flight` batches of device programs dispatched before
-blocking on the oldest batch's results — so neither host work nor fetch
-round-trips leave the device channel idle.
+blocking on the oldest batch's results, and a fetcher thread issues each
+unit's ONE combined device_get right after its dispatch — transfers are
+PULL-model on this runtime (the downlink only moves while a device_get
+blocks on it), so the dedicated fetch lets unit N+1's mask downlink
+stream under unit N's host scoring/save work (perf_playbook §7).
 """
 
 from __future__ import annotations
@@ -227,6 +230,7 @@ class LabelGeneratorBase:
 
     needs_full_images = False
     in_flight = 2  # batches dispatched ahead of the blocking fetch
+    fetch_ahead = True  # combined device_get on a dedicated thread
 
     def __init__(self, cfg: LabelGenConfig, variables=None,
                  model_name: str = "drn_c_26", seed: Optional[int] = None,
@@ -282,6 +286,8 @@ class LabelGeneratorBase:
         p = cfg.prior
         self._prior_params = (p.y_rel_pos, p.x_rel_pos, p.y_rel_sigma,
                               p.x_rel_sigma)
+        # set by process_dataset while its fetcher thread is live
+        self._fetcher = None
 
     def _put(self, host_array):
         """Upload a batch-leading array, sharded over the mesh when one
@@ -432,6 +438,37 @@ class LabelGeneratorBase:
         (B,h,w) int32, diagnostics dict)."""
         raise NotImplementedError
 
+    def _build_fetch(self, handles):
+        """The unit's ONE combined device_get: (arrays, extra_names,
+        n_scalars).  got[:n_scalars] are the diag/retry scalars;
+        got[n_scalars:] land in handles under extra_names."""
+        raise NotImplementedError
+
+    def _submit_fetch(self, handles):
+        """Submit the combined device_get on the fetcher thread right
+        after dispatch.  Transfers are PULL-model on this runtime — the
+        downlink only moves while a device_get blocks on it — so a
+        dedicated fetch thread lets unit N+1's mask downlink stream
+        underneath unit N's host scoring/save work (device_get releases
+        the GIL on the socket wait; real even on a 1-core host).
+        Measured on relabel: 3.3 -> 4.2 img/s (perf_playbook §7)."""
+        if self._fetcher is None or not self.fetch_ahead:
+            return
+        fetch, extra, n_scalars = self._build_fetch(handles)
+        handles["_fetch"] = (extra, n_scalars,
+                             self._fetcher.submit(jax.device_get, fetch))
+
+    def _landed_fetch(self, handles):
+        """Resolve the unit's combined fetch: the pre-submitted future
+        when process_dataset's fetcher is live, a synchronous device_get
+        otherwise (run_batch path, and retry re-dispatches)."""
+        pre = handles.pop("_fetch", None)
+        if pre is not None:
+            extra, n_scalars, fut = pre
+            return fut.result(), extra, n_scalars
+        fetch, extra, n_scalars = self._build_fetch(handles)
+        return jax.device_get(fetch), extra, n_scalars
+
     def run_batch(self, images_uint8, timers=None, full_images=None,
                   prepared=None):
         """Synchronous single-batch API: host-prepare + dispatch + finish.
@@ -519,17 +556,28 @@ class LabelGeneratorBase:
         # fetch only when the save path will consume them
         self._want_cluster_np = bool(save or cfg.save_images)
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         pending = deque()
-        for item in self._prefetched(dataset, units, prefetch):
-            handles = self.dispatch_batch(item[4], item[5])
-            pending.append((item, handles))
-            if len(pending) > self.in_flight:
-                records.extend(self._finish_loaded(
-                    dataset, *pending.popleft(), save=save, writer=writer))
-        while pending:
-            records.extend(self._finish_loaded(
-                dataset, *pending.popleft(), save=save, writer=writer))
+        try:
+            # dedicated fetch thread: each unit's combined device_get is
+            # submitted right after its dispatch (see _submit_fetch)
+            with ThreadPoolExecutor(max_workers=1) as fetcher:
+                self._fetcher = fetcher
+                for item in self._prefetched(dataset, units, prefetch):
+                    handles = self.dispatch_batch(item[4], item[5])
+                    self._submit_fetch(handles)
+                    pending.append((item, handles))
+                    if len(pending) > self.in_flight:
+                        records.extend(self._finish_loaded(
+                            dataset, *pending.popleft(), save=save,
+                            writer=writer))
+                while pending:
+                    records.extend(self._finish_loaded(
+                        dataset, *pending.popleft(), save=save,
+                        writer=writer))
+        finally:
+            self._fetcher = None
         return records
 
     def _load_unit(self, dataset, unit):
@@ -962,6 +1010,25 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         return {"road": road, "cluster": cluster, "assign": assign,
                 "res": res, "ok": ok}
 
+    def _build_fetch(self, handles):
+        # ONE transfer for everything the host needs from this unit: the
+        # retry/diag scalars AND the bit-packed masks (when the program
+        # provides them).  Each extra device_get costs a full tunnel
+        # round trip (~30-60 ms) on remote-attached TPUs — fetching the
+        # masks together with the scalars halves the per-unit fetch
+        # latency of the scoring path.
+        res = handles["res"]
+        fetch = [res.n_iter, res.converged, res.empty_stop,
+                 handles["ok"]]
+        extra = []
+        if "road_packed" in handles:
+            extra.append("road_packed_np")
+            fetch.append(handles["road_packed"])
+        if getattr(self, "_want_cluster_np", False):
+            extra.append("cluster_np")  # save path consumes it
+            fetch.append(handles["cluster"])
+        return fetch, extra, 4
+
     def finish_batch(self, prepared, handles, timers):
         """Fetch the batch's results; on the (rare) degenerate-clustering
         signal, retry with a fresh seed — the optimistic dispatch means
@@ -969,26 +1036,9 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         cfg = self.cfg
         with timers.stage("kmeans"):
             for attempt in range(max(1, cfg.kmeans.max_retries)):
-                res = handles["res"]
-                # ONE transfer for everything the host needs from this
-                # unit: the retry/diag scalars AND the bit-packed masks
-                # (when the program provides them).  Each extra
-                # device_get costs a full tunnel round trip (~30-60 ms)
-                # on remote-attached TPUs — fetching the masks together
-                # with the scalars halves the per-unit fetch latency of
-                # the scoring path.
-                fetch = [res.n_iter, res.converged, res.empty_stop,
-                         handles["ok"]]
-                extra = []
-                if "road_packed" in handles:
-                    extra.append("road_packed_np")
-                    fetch.append(handles["road_packed"])
-                if getattr(self, "_want_cluster_np", False):
-                    extra.append("cluster_np")  # save path consumes it
-                    fetch.append(handles["cluster"])
-                got = jax.device_get(fetch)
+                got, extra, ns = self._landed_fetch(handles)
                 n_it, conv, empty, ok_np = got[:4]
-                for name, val in zip(extra, got[4:]):
+                for name, val in zip(extra, got[ns:]):
                     handles[name] = val
                 if bool(np.all(ok_np)) or attempt + 1 >= max(
                         1, cfg.kmeans.max_retries):
