@@ -147,10 +147,13 @@ def _label_gen_cfg(mode: str):
         # would hold 30 x 2 MP x (3B image + 4B labels) on chip at once.
         sp = SuperpixelConfig(method="slic", n_slic_segments=1024,
                               slic_iters=5, max_superpixels=2048,
-                              slic_enforce_connectivity=False)
-        # yuv420 halves BOTH uploads: the 224^2 clustering batch AND the
-        # full-res frames the device superpixels consume (the binding
-        # cost: ~6 MB/img raw at 2 MP)
+                              slic_enforce_connectivity=False,
+                              slic_device_downscale=2)
+        # the full-frame upload is this mode's binding cost (~6 MB/img
+        # raw at 2 MP): yuv420 halves it (and the 224^2 clustering
+        # batch), slic_device_downscale=2 quarters what remains —
+        # superpixels at 1 MP, refined mask NN-upsampled on device
+        # (quality-gated deviation, tests/test_baselines.py)
         return LabelGenConfig(mode="overlaps", batchsize=8,
                               superpixel=sp, upload_format="yuv420",
                               save_masks=False)

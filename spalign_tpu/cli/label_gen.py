@@ -49,6 +49,12 @@ def get_args(argv=None):
                         "connectivity pass and fuse SLIC into the device "
                         "program (one dispatch per batch; see PARITY.md "
                         "'SLIC connectivity modes')")
+    p.add_argument("--slic_device_downscale", type=int, default=1,
+                   help="overlaps device-SLIC only: compute full-res "
+                        "superpixels at 1/d scale and NN-upsample the "
+                        "refined mask on device (d=2 quarters the "
+                        "full-frame upload, this mode's binding cost; "
+                        "documented deviation, quality-gated)")
     p.add_argument("--max_superpixels", type=int, default=1024)
     p.add_argument("--groups_per_dispatch", type=int, default=1,
                    help="independent clustering batches fused into one "
@@ -104,6 +110,7 @@ def config_from_args(args) -> LabelGenConfig:
             felzenszwalb_min_size=args.felzenszwalb_min_size,
             n_slic_segments=args.n_slic_segments,
             slic_enforce_connectivity=not args.slic_no_connectivity,
+            slic_device_downscale=args.slic_device_downscale,
             max_superpixels=args.max_superpixels),
         align=AlignConfig(n_anchors=args.n_anchors,
                           n_neighbors=args.n_neighbors,

@@ -58,6 +58,13 @@ class SuperpixelConfig:
     # the grid size, disconnected regions may share a label) — one
     # dispatch per batch, no host superpixel work at all.
     slic_enforce_connectivity: bool = True
+    # Overlaps-mode device SLIC only (documented deviation, quality-
+    # gated): compute the FULL-resolution superpixels at 1/d scale and
+    # NN-upsample the refined road mask back on device.  At 2 MP the
+    # full-res frame upload is the overlaps pipeline's binding cost on a
+    # remote-attached TPU (~3 MB/img even as YUV420); d=2 quarters it.
+    # 1 = exact full resolution.
+    slic_device_downscale: int = 1
     # padding bound for the per-image superpixel count on device
     max_superpixels: int = 1024
 

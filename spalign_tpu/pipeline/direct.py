@@ -76,16 +76,25 @@ from functools import lru_cache as _lru_cache
 
 
 @_lru_cache(maxsize=None)
-def _refine_packed_program(num_segments: int):
+def _refine_packed_program(num_segments: int, upscale: int = 1):
     """Module-cached jit: overlaps refine + bit-packed downlink form of
     the full-res masks (8x less of the ~25 MB/s downlink; threshold is
-    a traced arg so sweeps share the compile)."""
+    a traced arg so sweeps share the compile).
+
+    ``upscale`` > 1: the superpixel maps were computed at 1/upscale
+    scale (SuperpixelConfig.slic_device_downscale); the refine runs at
+    that scale — the refined mask is per-superpixel constant, so
+    NN-upsampling it equals upsampling the label map first — and the
+    result is replicated back to full resolution on device."""
     from spalign_tpu.pipeline.label_gen import pack_mask_bits
 
     @jax.jit
     def refine(road_small, superpixels_full, threshold):
         refined = overlaps_refine(road_small, superpixels_full,
                                   threshold, num_segments=num_segments)
+        if upscale > 1:
+            refined = jnp.repeat(jnp.repeat(refined, upscale, axis=1),
+                                 upscale, axis=2)
         return refined, pack_mask_bits(refined)
 
     return refine
@@ -169,7 +178,8 @@ class DirectLabelGenerator(LabelGeneratorBase):
             with timers.stage("refine"):
                 handles["road"], handles["road_packed"] = \
                     _refine_packed_program(
-                        self.cfg.superpixel.max_superpixels)(
+                        self.cfg.superpixel.max_superpixels,
+                        prepared.get("sps_upscale", 1))(
                         road, prepared["full_sps"],
                         self.cfg.overlap_threshold)
         return handles
@@ -236,6 +246,20 @@ class OverlapsLabelGenerator(DirectLabelGenerator):
                 batched_slic_device
 
             b, h, w = full_images.shape[:3]
+            d = spcfg.slic_device_downscale
+            if d > 1:
+                if h % d or w % d:
+                    raise ValueError(
+                        f"slic_device_downscale={d} does not divide the "
+                        f"full image shape ({h}, {w})")
+                # uplink is this mode's binding cost (~3 MB/img at 2 MP
+                # even as YUV420); superpixels at 1/d scale quarter it
+                # (d=2), and the refined mask replicates back to full
+                # resolution on device (documented deviation, quality-
+                # gated by tests/test_pipeline_e2e.py)
+                full_images = np.ascontiguousarray(
+                    full_images[:, ::d, ::d])
+                h, w = h // d, w // d
             s_grid = slic_grid_size(h, w, spcfg.n_slic_segments)
             if s_grid > spcfg.max_superpixels:
                 raise ValueError(
@@ -262,6 +286,7 @@ class OverlapsLabelGenerator(DirectLabelGenerator):
                         spcfg.n_slic_segments, spcfg.slic_compactness,
                         spcfg.slic_iters)(full_dev)
                 counts = np.full((b,), s_grid, np.int32)
+            prepared["sps_upscale"] = d
         else:
             with timers.stage("superpixel"):
                 sps_host, counts = compute_superpixels(full_images,

@@ -142,6 +142,38 @@ class TestBaselineGenerators:
                 vals = road[b][sps[b] == s]
                 assert vals.all() or not vals.any()
 
+    def test_overlaps_device_slic_downscale_quality_gate(self, tmp_path):
+        """slic_device_downscale=2 (SuperpixelConfig) computes the
+        full-res superpixels at half scale and NN-upsamples the refined
+        mask on device — the uplink lever for the overlaps mode.  Gate:
+        masks stay full-resolution, 2x2-block constant, and close to the
+        exact full-res variant (the deviation moves only superpixel
+        boundaries, so mask agreement must stay high)."""
+        def run(downscale):
+            sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                                  slic_iters=3, max_superpixels=256,
+                                  slic_enforce_connectivity=False,
+                                  slic_device_downscale=downscale)
+            cfg = LabelGenConfig(mode="overlaps", batchsize=2,
+                                 resize_shape=(112, 112), superpixel=sp,
+                                 out_dir=str(tmp_path), save_masks=False)
+            gen = make_label_generator(cfg, seed=5)
+            imgs, _ = ds.resized_batch(range(2), (112, 112))
+            full = np.stack([ds[i][0] for i in range(2)])
+            road, _, _, _ = gen.run_batch(imgs, full_images=full)
+            return np.asarray(road)
+
+        ds = SyntheticRoadScenes(n=2, full_shape=(128, 256), seed=31)
+        exact, halved = run(1), run(2)
+        assert halved.shape == (2, 128, 256)
+        # 2x2-block constant (NN-upsampled from half resolution)
+        assert np.array_equal(halved, np.repeat(np.repeat(
+            halved[:, ::2, ::2], 2, axis=1), 2, axis=2))
+        # quality gate: high agreement with the exact full-res variant
+        inter = (exact & halved).sum()
+        union = (exact | halved).sum()
+        assert union > 0 and inter / union > 0.85, inter / union
+
     def test_overlaps_masks_respect_superpixels(self, tmp_path):
         """Refined masks must be unions of full-res superpixels."""
         from spalign_tpu.pipeline.superpixels import compute_superpixels
