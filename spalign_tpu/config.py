@@ -153,6 +153,21 @@ class LabelGenConfig:
     # spalign path and the direct mode; parity mode rejects it.
     upload_format: str = "rgb8"  # 'rgb8' | 'yuv420'
 
+    def __post_init__(self):
+        sp = self.superpixel
+        if sp.slic_device_downscale > 1 and not (
+                self.mode == "overlaps" and sp.method == "slic"
+                and not sp.slic_enforce_connectivity):
+            # only the overlaps device-SLIC frontend reads this knob;
+            # every other path would silently ignore it
+            raise ValueError(
+                "slic_device_downscale > 1 applies only to mode="
+                "'overlaps' with superpixel method='slic' and "
+                "slic_enforce_connectivity=False (the device-SLIC "
+                f"frontend); got mode={self.mode!r}, "
+                f"method={sp.method!r}, slic_enforce_connectivity="
+                f"{sp.slic_enforce_connectivity}")
+
 
 @dataclass(frozen=True)
 class TrainConfig:

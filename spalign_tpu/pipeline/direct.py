@@ -84,18 +84,23 @@ def _refine_packed_program(num_segments: int, upscale: int = 1):
     ``upscale`` > 1: the superpixel maps were computed at 1/upscale
     scale (SuperpixelConfig.slic_device_downscale); the refine runs at
     that scale — the refined mask is per-superpixel constant, so
-    NN-upsampling it equals upsampling the label map first — and the
-    result is replicated back to full resolution on device."""
+    NN-upsampling it equals upsampling the label map first.  The PACKED
+    downlink ships the 1/upscale-resolution mask (upscale^2 fewer bytes
+    on the second-scarcest resource; the host replicates it back with
+    np.repeat, bit-equal); only the in-program full-resolution array —
+    what run_batch hands to device-side consumers — is replicated on
+    device."""
     from spalign_tpu.pipeline.label_gen import pack_mask_bits
 
     @jax.jit
     def refine(road_small, superpixels_full, threshold):
         refined = overlaps_refine(road_small, superpixels_full,
                                   threshold, num_segments=num_segments)
+        packed = pack_mask_bits(refined)
         if upscale > 1:
             refined = jnp.repeat(jnp.repeat(refined, upscale, axis=1),
                                  upscale, axis=2)
-        return refined, pack_mask_bits(refined)
+        return refined, packed
 
     return refine
 
@@ -176,12 +181,15 @@ class DirectLabelGenerator(LabelGeneratorBase):
             # execution overlaps the next batch — see PARITY.md timing
             # notes)
             with timers.stage("refine"):
+                upscale = prepared.get("sps_upscale", 1)
                 handles["road"], handles["road_packed"] = \
                     _refine_packed_program(
-                        self.cfg.superpixel.max_superpixels,
-                        prepared.get("sps_upscale", 1))(
+                        self.cfg.superpixel.max_superpixels, upscale)(
                         road, prepared["full_sps"],
                         self.cfg.overlap_threshold)
+                if upscale > 1:
+                    # packed downlink carries the 1/upscale-res mask
+                    handles["packed_upscale"] = upscale
         return handles
 
     def _build_fetch(self, handles):
@@ -255,8 +263,9 @@ class OverlapsLabelGenerator(DirectLabelGenerator):
                 # uplink is this mode's binding cost (~3 MB/img at 2 MP
                 # even as YUV420); superpixels at 1/d scale quarter it
                 # (d=2), and the refined mask replicates back to full
-                # resolution on device (documented deviation, quality-
-                # gated by tests/test_pipeline_e2e.py)
+                # resolution (documented deviation, quality-gated by
+                # tests/test_baselines.py::
+                # test_overlaps_device_slic_downscale_quality_gate)
                 full_images = np.ascontiguousarray(
                     full_images[:, ::d, ::d])
                 h, w = h // d, w // d

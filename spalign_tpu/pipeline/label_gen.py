@@ -642,17 +642,25 @@ class LabelGeneratorBase:
             # (bit-packed when the program provides them) and everything
             # downstream — scoring AND full-res saving — derives from
             # them on the host
+            # packed masks may ride the wire at 1/u resolution (overlaps
+            # slic_device_downscale: they are u x u block-constant, so
+            # host np.repeat reconstructs the full-res mask bit-equal at
+            # u^2 fewer downlink bytes)
+            u = int(handles.get("packed_upscale", 1))
             if "road_packed_np" in handles:
                 # already landed by finish_batch's combined fetch
                 road_np = unpack_mask_bits(handles["road_packed_np"],
-                                           road.shape[-1])
+                                           road.shape[-1] // u)
             elif "road_np" in handles:  # landed unpacked (direct mode)
                 road_np = handles["road_np"]
             elif "road_packed" in handles:
                 road_np = unpack_mask_bits(
-                    np.asarray(handles["road_packed"]), road.shape[-1])
+                    np.asarray(handles["road_packed"]),
+                    road.shape[-1] // u)
             else:
                 road_np = np.asarray(road)
+            if u > 1 and road_np.shape[-1] != road.shape[-1]:
+                road_np = road_np.repeat(u, axis=1).repeat(u, axis=2)
         if labels is not None:
             # labels are RAW labelIds (dataset convention) — uploading
             # 2 MB/img of labelIds for a 2x2 result would eat the scarce

@@ -227,3 +227,21 @@ def test_native_confusion_matches_numpy_chain():
         c = np.bincount(idx.ravel(), minlength=6)
         b = np.array([[c[2], c[3]], [c[4], c[5]]], np.int64)
         np.testing.assert_array_equal(a, b)
+
+
+def test_downscale_knob_rejected_off_device_slic_path():
+    """slic_device_downscale>1 is read only by the overlaps device-SLIC
+    frontend; every other path would silently ignore it, so the config
+    rejects the combination at construction (cli/label_gen.py knob)."""
+    sp_felz = SuperpixelConfig(method="felzenszwalb",
+                               slic_device_downscale=2)
+    with pytest.raises(ValueError, match="slic_device_downscale"):
+        LabelGenConfig(mode="spalign", superpixel=sp_felz)
+    sp_conn = SuperpixelConfig(method="slic", slic_device_downscale=2,
+                               slic_enforce_connectivity=True)
+    with pytest.raises(ValueError, match="slic_device_downscale"):
+        LabelGenConfig(mode="overlaps", superpixel=sp_conn)
+    # the one valid combination constructs fine
+    sp_ok = SuperpixelConfig(method="slic", slic_device_downscale=2,
+                             slic_enforce_connectivity=False)
+    LabelGenConfig(mode="overlaps", superpixel=sp_ok)

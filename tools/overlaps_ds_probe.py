@@ -31,12 +31,16 @@ def main(rounds=3):
         cfg2.superpixel, slic_device_downscale=1))
     bs = cfg2.batchsize
     n_batches = 4
-    ds = SyntheticRoadScenes(n=bs * 2, full_shape=(1024, 2048), seed=7)
-    imgs_a, _ = ds.resized_batch(range(bs), cfg2.resize_shape)
-    imgs_b, _ = ds.resized_batch(range(bs, 2 * bs), cfg2.resize_shape)
-    fulls = np.stack([ds[i][0] for i in range(2 * bs)])
-    mem = _InMemory(np.concatenate([imgs_a, imgs_b]), fulls,
-                    n_batches=n_batches, batch=bs)
+    # every batch gets UNIQUE full-res frames: the runtime memoizes
+    # executions on identical inputs, and the device-SLIC program's
+    # input is the frame itself (seeds only vary the clustering
+    # dispatch) — repeating frames would let later batches shortcut
+    # the SLIC execution and inflate the measured rate
+    n_frames = bs * n_batches
+    ds = SyntheticRoadScenes(n=n_frames, full_shape=(1024, 2048), seed=7)
+    imgs, _ = ds.resized_batch(range(n_frames), cfg2.resize_shape)
+    fulls = np.stack([ds[i][0] for i in range(n_frames)])
+    mem = _InMemory(imgs, fulls, n_batches=n_batches, batch=bs)
 
     gens = {d: make_label_generator(c)
             for d, c in ((1, cfg1), (2, cfg2))}
