@@ -193,7 +193,8 @@ class _InMemory:
         return self.fulls[[i % self.n_src for i in indices]]
 
 
-def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
+def bench_label_gen(mode: str, breakdown: bool = False,
+                    reps: int | None = None) -> dict:
     import jax
 
     from spalign_tpu.data.synthetic import SyntheticRoadScenes
@@ -206,14 +207,17 @@ def bench_label_gen(mode: str, breakdown: bool = False) -> dict:
     # 1-core box): fewer batches/reps keep the bench affordable.  The
     # cheap modes take best-of-5: the tunnel has hours-scale drift and
     # short stalls, so more reps buy real tail protection.
-    n_batches, reps = (2, 1) if mode == "overlaps" else (N_BATCHES_TIMED,
-                                                         5)
+    n_batches, default_reps = (2, 1) if mode == "overlaps" else (
+        N_BATCHES_TIMED, 5)
+    reps = default_reps if reps is None else reps
     if mode in ("slic", "slic_scored"):
         # multi-group dispatch: time 3 units of GROUPS batches so the
         # in-flight pipeline still overlaps units
         n_batches = 3 * GROUPS
     if mode == "overlaps_slic":
-        n_batches, reps = 4, 3
+        n_batches = 4
+        if reps == default_reps:
+            reps = 3
     ds = SyntheticRoadScenes(n=bs * 2, full_shape=FULL_SHAPE, seed=7)
     gen = make_label_generator(cfg)
 
@@ -562,6 +566,19 @@ def main():
                if m == "train_bf16"
                else bench_relabel(args.breakdown) if m == "relabel"
                else bench_label_gen(m, args.breakdown))
+        if m == "slic" and args.mode == "slic":
+            # The default (driver) invocation also carries the GT-scored
+            # rate inside the SAME JSON line: scoring every image against
+            # full-res ground truth is the reference's actual workload
+            # shape (batch_spalign_kmeans.py:389-424), and a regression
+            # in the scoring path (the C++ confusion op, the packed-mask
+            # fetch) would be invisible in the unscored number.  2 reps:
+            # this is a regression canary, not the headline.
+            scored = bench_label_gen("slic_scored", args.breakdown,
+                                     reps=2)
+            row["scored_value"] = scored["value"]
+            row["scored_unit"] = scored["unit"]
+            row["scored_vs_baseline"] = scored["vs_baseline"]
         print(json.dumps(row), flush=True)
 
 

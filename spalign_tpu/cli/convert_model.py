@@ -32,10 +32,7 @@ def main(argv=None):
                            weights_only=True)
         from spalign_tpu.convert import torch_drn
 
-        factory = {"drn_c_26": torch_drn.torch_drn_c_26,
-                   "drn_d_22": torch_drn.torch_drn_d_22,
-                   "drn_d_105": torch_drn.torch_drn_d_105}[args.model]
-        tmodel = factory()
+        tmodel = torch_drn.TORCH_DRN_FACTORIES[args.model]()
         tmodel.load_state_dict(state)
         tmodel.eval()
         x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(

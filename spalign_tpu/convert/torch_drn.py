@@ -171,11 +171,41 @@ def torch_drn_c_26(num_classes=1000):
                     num_classes=num_classes)
 
 
+def torch_drn_c_42(num_classes=1000):
+    return TorchDRN(TorchBasicBlock, [1, 1, 3, 4, 6, 3, 1, 1], arch="C",
+                    num_classes=num_classes)
+
+
+def torch_drn_c_58(num_classes=1000):
+    # Bottleneck body; arch-C de-gridding layers 7/8 stay BasicBlock
+    # (drn_pytorch.py:273-278 + :150-158)
+    return TorchDRN(TorchBottleneck, [1, 1, 3, 4, 6, 3, 1, 1], arch="C",
+                    num_classes=num_classes)
+
+
 def torch_drn_d_22(num_classes=1000):
     return TorchDRN(TorchBasicBlock, [1, 1, 2, 2, 2, 2, 1, 1], arch="D",
+                    num_classes=num_classes)
+
+
+def torch_drn_d_38(num_classes=1000):
+    return TorchDRN(TorchBasicBlock, [1, 1, 3, 4, 6, 3, 1, 1], arch="D",
+                    num_classes=num_classes)
+
+
+def torch_drn_d_54(num_classes=1000):
+    return TorchDRN(TorchBottleneck, [1, 1, 3, 4, 6, 3, 1, 1], arch="D",
                     num_classes=num_classes)
 
 
 def torch_drn_d_105(num_classes=1000):
     return TorchDRN(TorchBottleneck, [1, 1, 3, 4, 23, 3, 1, 1], arch="D",
                     num_classes=num_classes)
+
+
+TORCH_DRN_FACTORIES = {
+    "drn_c_26": torch_drn_c_26, "drn_c_42": torch_drn_c_42,
+    "drn_c_58": torch_drn_c_58, "drn_d_22": torch_drn_d_22,
+    "drn_d_38": torch_drn_d_38, "drn_d_54": torch_drn_d_54,
+    "drn_d_105": torch_drn_d_105,
+}

@@ -308,6 +308,14 @@ def batch_predict(model: "DRN", variables, images_rgb_0_255,
     return model.apply(variables, x, train=train)
 
 
+def predict(model: "DRN", variables, image_rgb_0_255):
+    """Per-image convenience (reference models/drn.py:287-302 predict):
+    a single (H, W, 3) RGB [0, 255] image -> (head_output, middle_maps)
+    with the leading batch dim added, normalization inside, eval mode."""
+    return batch_predict(model, variables, image_rgb_0_255[None],
+                         train=False)
+
+
 DRN_FACTORIES = {
     "drn_c_26": drn_c_26, "drn_c_42": drn_c_42, "drn_c_58": drn_c_58,
     "drn_d_22": drn_d_22, "drn_d_38": drn_d_38, "drn_d_54": drn_d_54,

@@ -54,6 +54,10 @@ def summarize_confusion(conf: np.ndarray) -> dict:
         "main/class_accuracy/road": tp / max(tp + fn, 1),
         "main/class_accuracy/non_road": tn / max(tn + fp, 1),
         "main/pixel_accuracy": (tp + tn) / max(conf.sum(), 1),
+        # raw counts, reported alongside precision/recall like the
+        # reference's PrecisionRecallEvaluator (train_segnet.py:138-141)
+        "main/FP": float(fp),
+        "main/FN": float(fn),
     }
 
 

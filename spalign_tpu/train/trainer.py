@@ -159,6 +159,7 @@ class Trainer:
         # would be a device sync in the middle of the training loop
         step = int(self.state.step)
         self._dump_graph()
+        fit_t0, fit_step0 = time.time(), step
         for images, labels in train_iter:
             if step >= cfg.train_iters:
                 break
@@ -169,10 +170,18 @@ class Trainer:
 
             if step % cfg.log_interval == 0 or step == cfg.train_iters:
                 last_loss = float(metrics["loss"])
+                # ProgressBar analog (train_segnet.py:290): rate since
+                # fit start (first interval includes the compile) + ETA
+                rate = (step - fit_step0) / max(time.time() - fit_t0,
+                                                1e-9)
                 rec = {"iteration": step, "main/loss": last_loss,
                        "grad_norm": float(metrics["grad_norm"]),
                        "lr": self._current_lr(step),
-                       "elapsed_time": time.time() - self._t0}
+                       "elapsed_time": time.time() - self._t0,
+                       "iters_per_sec": rate,
+                       "eta_seconds": max(cfg.train_iters - step, 0)
+                       / max(rate, 1e-9),
+                       "progress": step / max(cfg.train_iters, 1)}
                 self._report(rec)
             if step % cfg.val_interval == 0 or step == cfg.train_iters:
                 if evaluator is not None:

@@ -39,8 +39,16 @@ class TestDRNShapes:
 
 
 @pytest.mark.parametrize("name,jax_factory,torch_factory", [
+    # all 7 public pretrained variants (drn_pytorch.py:259-305): a
+    # layout bug in any factory pairing (Bottleneck-C de-gridding, the
+    # deeper D nets) must fail the converter parity gate, not ship
     ("drn_c_26", "drn_c_26", "torch_drn_c_26"),
+    ("drn_c_42", "drn_c_42", "torch_drn_c_42"),
+    ("drn_c_58", "drn_c_58", "torch_drn_c_58"),
     ("drn_d_22", "drn_d_22", "torch_drn_d_22"),
+    ("drn_d_38", "drn_d_38", "torch_drn_d_38"),
+    ("drn_d_54", "drn_d_54", "torch_drn_d_54"),
+    ("drn_d_105", "drn_d_105", "torch_drn_d_105"),
 ])
 class TestTorchParity:
     def test_converted_outputs_match(self, name, jax_factory, torch_factory):

@@ -173,6 +173,21 @@ class TestTrainerLoop:
         import os
         assert os.path.exists(os.path.join(str(tmp_path), "args.txt"))
         assert os.path.exists(os.path.join(str(tmp_path), "log"))
+        # log records carry ProgressBar-analog keys (train_segnet.py:290)
+        # and val records the raw FP/FN counts (train_segnet.py:138-141)
+        import json
+        with open(os.path.join(str(tmp_path), "log")) as f:
+            log = json.load(f)
+        train_recs = [r for r in log if "main/loss" in r]
+        assert train_recs, log
+        for r in train_recs:
+            assert r["iters_per_sec"] > 0
+            assert r["eta_seconds"] >= 0
+            assert 0 < r["progress"] <= 1
+        val_recs = [r for r in log if "val/main/FP" in r]
+        assert val_recs, log
+        for r in val_recs:
+            assert r["val/main/FP"] >= 0 and r["val/main/FN"] >= 0
 
     def test_resume_from_snapshot(self, rng, tmp_path):
         cfg = tiny_cfg(result_dir=str(tmp_path), train_iters=4,
