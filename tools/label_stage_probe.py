@@ -84,7 +84,7 @@ def main(part: str = "all"):
     sp = SuperpixelConfig(method="slic", n_slic_segments=100,
                           slic_iters=10, max_superpixels=256,
                           slic_enforce_connectivity=False)
-    cfg = LabelGenConfig(batchsize=B, superpixel=sp,
+    cfg = LabelGenConfig(batchsize=B, superpixel=sp, resize_shape=HW,
                          groups_per_dispatch=G, upload_format="yuv420",
                          save_masks=False)
     gen = SpalignLabelGenerator(cfg)
