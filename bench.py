@@ -101,6 +101,21 @@ def _label_gen_cfg(mode: str):
         # image); the host-side confusion runs in the native C++ scorer
         # (native.confusion_vs_labelids)
         return _label_gen_cfg("slic")
+    if mode == "slic_d2":
+        # the production config (quality-gated deviation): the fused
+        # program computes the superpixel map at HALF resolution — the
+        # dense SLIC sweep is HBM-bound on its (HW, K) materialization,
+        # so d=2 cuts the dominant device stage ~4x (87.6 -> 21.3
+        # ms/unit, fused 169 -> 95 ms/unit = 887 -> 1576 img/s
+        # device-bound, docs/label_profile.md §4); e2e moves less
+        # because the pipeline is uplink-bound.  d=1 stays the parity
+        # default (the reference computes superpixels at network res).
+        import dataclasses
+
+        base = _label_gen_cfg("slic")
+        return dataclasses.replace(
+            base, superpixel=dataclasses.replace(
+                base.superpixel, slic_device_downscale=2))
     if mode == "slic_cc":
         # skimage-parity SLIC: host union-find connectivity pass
         sp = SuperpixelConfig(method="slic", n_slic_segments=100,
@@ -210,7 +225,7 @@ def bench_label_gen(mode: str, breakdown: bool = False,
     n_batches, default_reps = (2, 1) if mode == "overlaps" else (
         N_BATCHES_TIMED, 5)
     reps = default_reps if reps is None else reps
-    if mode in ("slic", "slic_scored"):
+    if mode in ("slic", "slic_scored", "slic_d2"):
         # multi-group dispatch: time 3 units of GROUPS batches so the
         # in-flight pipeline still overlaps units
         n_batches = 3 * GROUPS
@@ -527,8 +542,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", default="slic",
                    choices=["slic", "slic_cc", "felzenszwalb", "direct",
-                            "slic_scored", "overlaps", "overlaps_slic",
-                            "relabel", "train", "train_bf16", "all"])
+                            "slic_scored", "slic_d2", "overlaps",
+                            "overlaps_slic", "relabel", "train",
+                            "train_bf16", "all"])
     p.add_argument("--breakdown", action="store_true",
                    help="print per-stage means + MFU estimate to stderr")
     args = p.parse_args()
@@ -556,9 +572,9 @@ def main():
     except Exception:
         pass
 
-    modes = (["slic", "slic_scored", "slic_cc", "felzenszwalb",
-              "direct", "overlaps", "overlaps_slic", "relabel", "train",
-              "train_bf16"]
+    modes = (["slic", "slic_scored", "slic_d2", "slic_cc",
+              "felzenszwalb", "direct", "overlaps", "overlaps_slic",
+              "relabel", "train", "train_bf16"]
              if args.mode == "all" else [args.mode])
     for m in modes:
         row = (bench_train(args.breakdown) if m == "train"

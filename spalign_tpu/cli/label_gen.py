@@ -50,10 +50,12 @@ def get_args(argv=None):
                         "program (one dispatch per batch; see PARITY.md "
                         "'SLIC connectivity modes')")
     p.add_argument("--slic_device_downscale", type=int, default=1,
-                   help="overlaps device-SLIC only: compute full-res "
-                        "superpixels at 1/d scale and NN-upsample the "
-                        "refined mask on device (d=2 quarters the "
-                        "full-frame upload, this mode's binding cost; "
+                   help="device-SLIC frontends only: compute the "
+                        "superpixel map at 1/d scale (overlaps mode: "
+                        "d=2 quarters the full-frame upload, its "
+                        "binding cost; fused spalign: d=2 cuts the "
+                        "HBM-bound SLIC sweep ~4x, 887 -> 1576 img/s "
+                        "device-bound, docs/label_profile.md; "
                         "documented deviation, quality-gated)")
     p.add_argument("--max_superpixels", type=int, default=1024)
     p.add_argument("--groups_per_dispatch", type=int, default=1,

@@ -58,12 +58,16 @@ class SuperpixelConfig:
     # the grid size, disconnected regions may share a label) — one
     # dispatch per batch, no host superpixel work at all.
     slic_enforce_connectivity: bool = True
-    # Overlaps-mode device SLIC only (documented deviation, quality-
-    # gated): compute the FULL-resolution superpixels at 1/d scale and
-    # NN-upsample the refined road mask back on device.  At 2 MP the
-    # full-res frame upload is the overlaps pipeline's binding cost on a
-    # remote-attached TPU (~3 MB/img even as YUV420); d=2 quarters it.
-    # 1 = exact full resolution.
+    # Device-SLIC frontends only (documented deviation, quality-gated):
+    # compute the superpixels at 1/d scale.  Overlaps mode: the 2 MP
+    # frame upload is its binding cost (~3 MB/img even as YUV420); d=2
+    # quarters it and the refined mask is NN-upsampled back.  Fused
+    # spalign: the dense SLIC sweep is HBM-bound on its (HW, K)
+    # materialization at ~95% of the v5e bandwidth peak
+    # (docs/label_profile.md), so d=2 cuts the dominant device stage
+    # ~4x; anchors/prior/painting follow the map's resolution and the
+    # appended center of mass is rescaled to image units.  1 = exact
+    # full resolution.
     slic_device_downscale: int = 1
     # padding bound for the per-image superpixel count on device
     max_superpixels: int = 1024
@@ -155,18 +159,32 @@ class LabelGenConfig:
 
     def __post_init__(self):
         sp = self.superpixel
-        if sp.slic_device_downscale > 1 and not (
-                self.mode == "overlaps" and sp.method == "slic"
-                and not sp.slic_enforce_connectivity):
-            # only the overlaps device-SLIC frontend reads this knob;
-            # every other path would silently ignore it
-            raise ValueError(
-                "slic_device_downscale > 1 applies only to mode="
-                "'overlaps' with superpixel method='slic' and "
-                "slic_enforce_connectivity=False (the device-SLIC "
-                f"frontend); got mode={self.mode!r}, "
-                f"method={sp.method!r}, slic_enforce_connectivity="
-                f"{sp.slic_enforce_connectivity}")
+        if sp.slic_device_downscale > 1:
+            d = sp.slic_device_downscale
+            device_slic = (sp.method == "slic"
+                           and not sp.slic_enforce_connectivity)
+            fused_spalign = (self.mode == "spalign" and device_slic
+                             and self.kmeans.init == "device")
+            if not (device_slic
+                    and (self.mode == "overlaps" or fused_spalign)):
+                # only the overlaps device-SLIC frontend and the fused
+                # spalign program read this knob; every other path would
+                # silently ignore it
+                raise ValueError(
+                    "slic_device_downscale > 1 applies only to the "
+                    "device-SLIC frontends: mode='overlaps' or "
+                    "mode='spalign' with kmeans.init='device', both "
+                    "with superpixel method='slic' and "
+                    "slic_enforce_connectivity=False; got "
+                    f"mode={self.mode!r}, method={sp.method!r}, "
+                    f"slic_enforce_connectivity="
+                    f"{sp.slic_enforce_connectivity}, "
+                    f"kmeans.init={self.kmeans.init!r}")
+            if fused_spalign and (self.resize_shape[0] % d
+                                  or self.resize_shape[1] % d):
+                raise ValueError(
+                    f"slic_device_downscale={d} must divide "
+                    f"resize_shape={self.resize_shape}")
 
 
 @dataclass(frozen=True)

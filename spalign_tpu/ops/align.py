@@ -84,7 +84,7 @@ def bilinear_sample(feature_map: jnp.ndarray,
 
 def superpixel_align(feature_map: jnp.ndarray, superpixels: jnp.ndarray,
                      key: jax.Array, n_anchors: int, num_segments: int,
-                     append_pos: bool = True):
+                     append_pos: bool = True, pos_scale: float = 1.0):
     """Per-superpixel aligned feature vectors.
 
     Args:
@@ -95,6 +95,12 @@ def superpixel_align(feature_map: jnp.ndarray, superpixels: jnp.ndarray,
       num_segments: static padding bound S.
       append_pos: append the superpixel's (y, x) center of mass in image
         pixel coordinates (reference :269-270).
+      pos_scale: superpixel-map pixel size in IMAGE pixels — d when the
+        map was computed at 1/d resolution (fused-SLIC downscale).  The
+        appended center of mass must stay in image units because it
+        competes against LAB-scaled feature dims in the k-means
+        distance; ``com * d + (d-1)/2`` is the image coordinate of a
+        low-res pixel's center.
 
     Returns:
       features: (S, C [+2]) float32 — mean anchor feature per superpixel;
@@ -124,6 +130,8 @@ def superpixel_align(feature_map: jnp.ndarray, superpixels: jnp.ndarray,
 
     if append_pos:
         com = center_of_mass(superpixels, num_segments)  # (S, 2)
+        if pos_scale != 1.0:
+            com = com * pos_scale + (pos_scale - 1.0) / 2.0
         mean_feat = jnp.concatenate(
             [mean_feat, com.astype(mean_feat.dtype)], axis=-1)
 

@@ -68,16 +68,17 @@ def build_feature_fn(model, variables, use_maps):
 
 
 def _align_and_prior(feature_maps, superpixels, key, n_anchors, s,
-                     append_pos, prior_params):
+                     append_pos, prior_params, pos_scale=1.0):
     """Shared prefix of the fused programs: per-superpixel aligned
     features + segment-mean Gaussian prior.  Returns (feats (B,S,C'),
-    valid (B,S), prior (B,S), k_seed)."""
+    valid (B,S), prior (B,S), k_seed).  pos_scale: image pixels per
+    superpixel-map pixel (d when the map is at 1/d resolution)."""
     b, h, w = superpixels.shape
     k_align, k_seed = jax.random.split(key)
     align_keys = jax.random.split(k_align, b)
     feats, valid = jax.vmap(
         lambda fm, sp, kk: superpixel_align(
-            fm, sp, kk, n_anchors, s, append_pos)
+            fm, sp, kk, n_anchors, s, append_pos, pos_scale)
     )(feature_maps, superpixels, align_keys)  # (B,S,C'), (B,S)
 
     prior_pix = pixel_prior(h, w, *prior_params)  # (h,w) static
@@ -95,16 +96,18 @@ def _paint(superpixels, res, b, s, max_id):
 
 @partial(jax.jit, static_argnames=("n_anchors", "num_segments",
                                    "append_pos", "k", "n_iter",
-                                   "prior_params"))
+                                   "prior_params", "pos_scale"))
 def spalign_cluster(feature_maps, superpixels, key, *, n_anchors: int,
                     num_segments: int, append_pos: bool, k: int,
-                    n_iter: int, prior_params):
+                    n_iter: int, prior_params, pos_scale: float = 1.0):
     """The fused align+prior+k-means device program (no feature extractor;
     composable with any feature fn so baselines share it).
 
     Args:
       feature_maps: (B, hf, wf, C) float.
-      superpixels: (B, h, w) int32, per-image contiguous ids.
+      superpixels: (B, h, w) int32, per-image contiguous ids.  May be at
+        1/d of the image resolution (fused-SLIC downscale) — pass
+        pos_scale=d so the appended center of mass stays in image units.
       key: PRNG key (anchor sampling + k-means seeding shuffle).
       prior_params: (y_rel_pos, x_rel_pos, y_rel_sigma, x_rel_sigma).
 
@@ -116,7 +119,7 @@ def spalign_cluster(feature_maps, superpixels, key, *, n_anchors: int,
     s = num_segments
     feats, valid, prior, k_seed = _align_and_prior(
         feature_maps, superpixels, key, n_anchors, s, append_pos,
-        prior_params)
+        prior_params, pos_scale)
     res = weighted_kmeans(feats.reshape(b * s, -1), prior.reshape(-1),
                           valid.reshape(-1), k_seed, k=k, n_iter=n_iter)
     road_masks, cluster_maps, assign = _paint(superpixels, res, b, s, k)
@@ -125,11 +128,11 @@ def spalign_cluster(feature_maps, superpixels, key, *, n_anchors: int,
 
 @partial(jax.jit, static_argnames=("n_anchors", "num_segments",
                                    "append_pos", "k_max", "n_iter",
-                                   "prior_params"))
+                                   "prior_params", "pos_scale"))
 def spalign_cluster_dynamic(feature_maps, superpixels, key, k, *,
                             n_anchors: int, num_segments: int,
                             append_pos: bool, k_max: int, n_iter: int,
-                            prior_params):
+                            prior_params, pos_scale: float = 1.0):
     """``spalign_cluster`` with a RUNTIME cluster count ``k`` (traced
     scalar <= k_max): one compiled program serves a whole k-ablation
     sweep (reference utils/dmux/run_exp_fig-7.sh re-ran the pipeline per
@@ -139,7 +142,7 @@ def spalign_cluster_dynamic(feature_maps, superpixels, key, k, *,
     s = num_segments
     feats, valid, prior, k_seed = _align_and_prior(
         feature_maps, superpixels, key, n_anchors, s, append_pos,
-        prior_params)
+        prior_params, pos_scale)
     res = weighted_kmeans_dynamic(
         feats.reshape(b * s, -1), prior.reshape(-1), valid.reshape(-1),
         k_seed, k, k_max=k_max, n_iter=n_iter)
@@ -358,7 +361,8 @@ class LabelGeneratorBase:
         # the fused program bakes the SLIC grid size, which depends on
         # BOTH the segment request and the image shape (slic_grid_size)
         sp_baked = ((sp.method, sp.n_slic_segments, sp.slic_compactness,
-                     sp.slic_iters, cfg.resize_shape)
+                     sp.slic_iters, cfg.resize_shape,
+                     _fused_downscale(cfg))
                     if _fused_superpixels(cfg) else (sp.max_superpixels,))
         # n_clusters is a runtime value ONLY on the dynamic-k device
         # path; the parity path (init='reference') always bakes it into
@@ -769,6 +773,20 @@ def _fused_superpixels(cfg: LabelGenConfig) -> bool:
             and cfg.kmeans.init == "device")
 
 
+def _fused_downscale(cfg: LabelGenConfig) -> int:
+    """Superpixel-map downscale d of the fused spalign program (1 =
+    full resolution).  At d>1 SLIC and everything downstream of the
+    superpixel map — anchors, prior, painting, the mask product — run
+    at 1/d resolution while the DRN keeps the full-resolution frames.
+    The dense SLIC sweep is HBM-bound on its (HW, K) materialization at
+    ~95% of the v5e's bandwidth peak (docs/label_profile.md §2), so
+    shrinking HW is the only remaining lever; quality-gated like the
+    overlaps-mode downscale (tests/test_pipeline_e2e.py)."""
+    d = cfg.superpixel.slic_device_downscale
+    return d if (cfg.mode == "spalign" and _fused_superpixels(cfg)
+                 and d > 1) else 1
+
+
 class SpalignLabelGenerator(LabelGeneratorBase):
     """End-to-end label generation over a dataset (reference
     batch_spalign_kmeans.py main loop :533-548 + estimate_road_mask).
@@ -786,10 +804,13 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         cfg = self.cfg
         if _fused_superpixels(cfg):
             # superpixels are computed inside the fused program; the
-            # count is the static SLIC grid size
+            # count is the static SLIC grid size (at the possibly
+            # downscaled superpixel resolution)
             from spalign_tpu.kernels.slic import slic_grid_size
 
-            k_grid = slic_grid_size(*cfg.resize_shape,
+            d = _fused_downscale(cfg)
+            k_grid = slic_grid_size(cfg.resize_shape[0] // d,
+                                    cfg.resize_shape[1] // d,
                                     cfg.superpixel.n_slic_segments)
             return {"imgs_dev": self._put_images(images_uint8),
                     "counts": np.full(len(images_uint8), k_grid,
@@ -812,7 +833,8 @@ class SpalignLabelGenerator(LabelGeneratorBase):
         return {"imgs_dev": imgs_dev, "sps_dev": sps, "counts": counts,
                 "sps_host": sps_host}
 
-    def _group_cluster(self, fmaps, sps, seeds, k, num_segments):
+    def _group_cluster(self, fmaps, sps, seeds, k, num_segments,
+                       pos_scale=1.0):
         """vmap the align+prior+k-means core over INDEPENDENT clustering
         groups: seeds is (G,), the flat batch splits into G groups of
         imgs.shape[0]//G images, and each group runs the reference-exact
@@ -837,13 +859,15 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                     num_segments=num_segments,
                     append_pos=cfg.align.append_pos,
                     k=cfg.kmeans.n_clusters, n_iter=cfg.kmeans.n_iter,
-                    prior_params=self._prior_params)
+                    prior_params=self._prior_params,
+                    pos_scale=pos_scale)
             return spalign_cluster_dynamic(
                 fm, sp, key, k, n_anchors=cfg.align.n_anchors,
                 num_segments=num_segments,
                 append_pos=cfg.align.append_pos, k_max=self.dynamic_k,
                 n_iter=cfg.kmeans.n_iter,
-                prior_params=self._prior_params)
+                prior_params=self._prior_params,
+                pos_scale=pos_scale)
 
         road, cluster, assign, res = jax.vmap(group)(
             fmaps.reshape(g, b, *fmaps.shape[1:]),
@@ -871,8 +895,9 @@ class SpalignLabelGenerator(LabelGeneratorBase):
             from spalign_tpu.kernels.slic import slic, slic_grid_size
 
             spcfg = cfg.superpixel
-            s_grid = slic_grid_size(*cfg.resize_shape,
-                                    spcfg.n_slic_segments)
+            d = _fused_downscale(cfg)
+            sp_hw = (cfg.resize_shape[0] // d, cfg.resize_shape[1] // d)
+            s_grid = slic_grid_size(*sp_hw, spcfg.n_slic_segments)
 
             @jax.jit
             def fused_all(imgs, seeds, k):
@@ -881,13 +906,22 @@ class SpalignLabelGenerator(LabelGeneratorBase):
                 # uint8 batch (possibly wire-packed), the only downloads
                 # are masks + scalars
                 imgs = self._wire_decode(imgs)
+                if d > 1:
+                    # superpixel-map resolution is a compute format: the
+                    # dense SLIC sweep is HBM-bound on (HW, K), so a d x d
+                    # box mean cuts it ~d^2; the DRN keeps full res
+                    n = imgs.shape[0]
+                    imgs_sp = imgs.astype(jnp.float32).reshape(
+                        n, sp_hw[0], d, sp_hw[1], d, 3).mean(axis=(2, 4))
+                else:
+                    imgs_sp = imgs
                 sps = jax.vmap(lambda im: slic(
                     im, n_segments=spcfg.n_slic_segments,
                     compactness=spcfg.slic_compactness,
-                    n_iter=spcfg.slic_iters))(imgs)
+                    n_iter=spcfg.slic_iters))(imgs_sp)
                 fmaps = feature_fn(imgs)
                 road, cluster, assign, res, ok = self._group_cluster(
-                    fmaps, sps, seeds, k, s_grid)
+                    fmaps, sps, seeds, k, s_grid, pos_scale=float(d))
                 return (road, pack_mask_bits(road), cluster, assign, res,
                         ok)
 

@@ -230,9 +230,10 @@ def test_native_confusion_matches_numpy_chain():
 
 
 def test_downscale_knob_rejected_off_device_slic_path():
-    """slic_device_downscale>1 is read only by the overlaps device-SLIC
-    frontend; every other path would silently ignore it, so the config
-    rejects the combination at construction (cli/label_gen.py knob)."""
+    """slic_device_downscale>1 is read only by the device-SLIC
+    frontends (overlaps mode and the fused spalign program); every
+    other path would silently ignore it, so the config rejects the
+    combination at construction (cli/label_gen.py knob)."""
     sp_felz = SuperpixelConfig(method="felzenszwalb",
                                slic_device_downscale=2)
     with pytest.raises(ValueError, match="slic_device_downscale"):
@@ -241,7 +242,18 @@ def test_downscale_knob_rejected_off_device_slic_path():
                                slic_enforce_connectivity=True)
     with pytest.raises(ValueError, match="slic_device_downscale"):
         LabelGenConfig(mode="overlaps", superpixel=sp_conn)
-    # the one valid combination constructs fine
+    # the valid combinations construct fine
     sp_ok = SuperpixelConfig(method="slic", slic_device_downscale=2,
                              slic_enforce_connectivity=False)
     LabelGenConfig(mode="overlaps", superpixel=sp_ok)
+    LabelGenConfig(mode="spalign", superpixel=sp_ok)  # fused program
+    # fused spalign additionally requires d | resize_shape (the box-mean
+    # reshape) and the device k-means init (the fused program)
+    with pytest.raises(ValueError, match="divide"):
+        LabelGenConfig(mode="spalign", superpixel=sp_ok,
+                       resize_shape=(225, 224))
+    from spalign_tpu.config import KMeansConfig
+
+    with pytest.raises(ValueError, match="slic_device_downscale"):
+        LabelGenConfig(mode="spalign", superpixel=sp_ok,
+                       kmeans=KMeansConfig(init="reference"))

@@ -158,6 +158,34 @@ class TestBF16:
             ious[dt] = float(np.mean([r["road_iou"] for r in recs]))
         assert abs(ious["float32"] - ious["bfloat16"]) < 0.1, ious
 
+    def test_quality_gate_superpixel_downscale(self):
+        """The gate behind SuperpixelConfig.slic_device_downscale=2 on
+        the fused spalign path (superpixel-map resolution as a compute
+        format, docs/label_profile.md §3): mean Road IoU must stay
+        within run noise of the full-resolution program (same weights,
+        same seeds) — the same bar as the bf16 and overlaps-downscale
+        gates.  20-image probe measured d=2 at parity-or-better
+        (0.452/0.429 vs 0.406/0.437 per 10-image batch)."""
+        import dataclasses
+
+        ds = SyntheticRoadScenes(n=8, full_shape=(256, 512), seed=31)
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False)
+        base = LabelGenConfig(batchsize=8, resize_shape=(112, 112),
+                              superpixel=sp, save_masks=False)
+        gen1 = SpalignLabelGenerator(base, seed=4)
+        cfg2 = dataclasses.replace(
+            base, superpixel=dataclasses.replace(
+                sp, slic_device_downscale=2))
+        gen2 = SpalignLabelGenerator(cfg2, seed=4,
+                                     variables=gen1.variables)
+        ious = {}
+        for name, gen in (("d1", gen1), ("d2", gen2)):
+            recs = gen.process_dataset(ds, save=False)
+            ious[name] = float(np.mean([r["road_iou"] for r in recs]))
+        assert abs(ious["d1"] - ious["d2"]) < 0.1, ious
+
     def test_parity_init_pins_float32(self):
         """Bit-parity mode must ignore the bf16 default (its contract is
         bit-equality with the reference's host math)."""

@@ -292,6 +292,40 @@ def main(part: str = "all"):
         return (jnp.sum(pack_mask_bits(road).astype(jnp.int32))
                 + jnp.sum(assign) + jnp.sum(res.n_iter))
 
+    # ---- part "d": superpixel-resolution downscale A/B (d=1 vs d=2
+    # fused programs, interleaved in THIS process — the only valid A/B
+    # on the drifting tunnel).  st_fused_scalar above IS the d=1 side;
+    # build the d=2 generator sharing the same weights.
+    st_fused_d2 = None
+    if part in ("all", "d"):
+        import dataclasses
+
+        cfg_d2 = dataclasses.replace(
+            cfg, superpixel=dataclasses.replace(
+                sp, slic_device_downscale=2))
+        gen2 = SpalignLabelGenerator(cfg_d2, variables=gen.variables)
+        prog2 = gen2._fused_program()
+
+        @jax.jit
+        def st_fused_d2(w, seed):
+            seeds = seed + jnp.arange(G, dtype=jnp.uint32)
+            out = prog2(perturb(w, seed), seeds,
+                        np.int32(cfg.kmeans.n_clusters))
+            # out[1] is the packed mask (at 1/d res) — scalar-fence it
+            return jnp.sum(out[1].astype(jnp.int32)) + jnp.sum(out[3])
+
+        @jax.jit
+        def st_slic_d2(w, seed):
+            imgs = decode_yuv420(perturb(w, seed), HW)
+            h2, w2 = HW[0] // 2, HW[1] // 2
+            imgs_sp = imgs.astype(jnp.float32).reshape(
+                n, h2, 2, w2, 2, 3).mean(axis=(2, 4))
+            sps = jax.vmap(lambda im: slic(
+                im, n_segments=sp.n_slic_segments,
+                compactness=sp.slic_compactness,
+                n_iter=sp.slic_iters))(imgs_sp)
+            return jnp.sum(sps)
+
     all_stages = [
         ("a", Stage("wire decode (yuv420)", st_decode, wire)),
         ("a", Stage("SLIC x10 (dense f32 sweep)", st_slic, wire)),
@@ -305,8 +339,25 @@ def main(part: str = "all"):
         ("b2", Stage("paint+pack", st_paint, sps0, assign0)),
         ("c", Stage("FUSED scalar-fenced", st_fused_scalar, wire)),
     ]
+    if st_fused_d2 is not None:
+        # interleaved d=1 vs d=2 A/B (docs/label_profile.md §4); under
+        # part="d" the d=1 SLIC/fused rows are duplicated here so the
+        # A/B is self-contained in one process ("all" already has them)
+        all_stages += [
+            ("d", Stage("SLIC x10 d=1", st_slic, wire)),
+            (part, Stage("SLIC x10 d=2 (half-res)", st_slic_d2, wire)),
+            ("d", Stage("FUSED scalar-fenced d=1", st_fused_scalar,
+                        wire)),
+            (part, Stage("FUSED scalar-fenced d=2", st_fused_d2, wire)),
+        ]
     stages = [s for p, s in all_stages if part in ("all", p)]
     measure_fetch = part in ("all", "c")
+    measure_fetch_d2 = st_fused_d2 is not None
+
+    def fused_packed_d2(w, seed):
+        seeds = seed + jnp.arange(G, dtype=jnp.uint32)
+        return prog2(perturb(w, seed), seeds,
+                     np.int32(cfg.kmeans.n_clusters))[1]
 
     print("warming (compiles)...", flush=True)
     for s in stages:
@@ -316,8 +367,11 @@ def main(part: str = "all"):
               flush=True)
     # fused program with real packed fetch (bench configuration)
     fused_fetch_best = float("inf")
+    fused_fetch_d2_best = float("inf")
     if measure_fetch:
         np.asarray(fused_packed(wire, jnp.uint32(998)))
+    if measure_fetch_d2:
+        np.asarray(fused_packed_d2(wire, jnp.uint32(997)))
 
     for rd in range(ROUNDS):
         r = rtt()
@@ -332,6 +386,12 @@ def main(part: str = "all"):
             out = fused_packed(wire, jnp.uint32(2000 + rd))
             np.asarray(out)
             fused_fetch_best = min(fused_fetch_best, time.time() - t0)
+        if measure_fetch_d2:
+            t0 = time.time()
+            out = fused_packed_d2(wire, jnp.uint32(3000 + rd))
+            np.asarray(out)
+            fused_fetch_d2_best = min(fused_fetch_d2_best,
+                                      time.time() - t0)
 
     print(f"\n=== per-stage device time ({G}x{B} imgs/unit) ===")
     for s in stages:
@@ -340,6 +400,9 @@ def main(part: str = "all"):
     if measure_fetch:
         print(f"  {'fused + packed fetch (1 unit)':<30} "
               f"{fused_fetch_best * 1e3:8.1f} ms incl. downlink")
+    if measure_fetch_d2:
+        print(f"  {'fused d2 + packed fetch':<30} "
+              f"{fused_fetch_d2_best * 1e3:8.1f} ms incl. downlink")
 
 
 if __name__ == "__main__":
