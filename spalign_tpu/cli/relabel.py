@@ -25,6 +25,15 @@ def get_args(argv=None):
                    choices=["float32", "float16"],
                    help="on-disk dtype for soft-label scores (float16 "
                         "halves the output zip)")
+    p.add_argument("--score_store", default="eval",
+                   choices=["eval", "network"],
+                   help="resolution of stored *_scores members: 'eval' "
+                        "= reference disk format (scores bilinearly "
+                        "upsampled to eval_shape, labels_from_segnet.py"
+                        ":91-95); 'network' keeps the network output "
+                        "resolution (same information, ~2x faster pass "
+                        "and 4x smaller zip; the training reader "
+                        "resizes either to the input shape)")
     p.add_argument("--save_panels", action="store_true", default=False,
                    help="write the 1x3 overlay/GT/prediction panel per "
                         "image (reference labels_from_segnet.py:97-119)")
@@ -63,6 +72,7 @@ def main(argv=None):
         eval_shape=tuple(args.eval_shape), batch_size=args.batchsize,
         soft_label=args.soft_label, out_dir=args.out_dir,
         score_dtype=getattr(np, args.score_dtype),
+        score_store=args.score_store,
         save_panels=args.save_panels, save_each=args.save_each)
     print(f"wrote {len(records)} predictions to "
           f"{args.out_dir if args.save_each else out_zip}")

@@ -234,6 +234,15 @@ class RoundsConfig:
     # the quantization is ~1e-4 absolute.  The reference writes float32
     # (labels_from_segnet.py:86-95) — set "float32" for disk parity.
     score_dtype: str = "float16"
+    # Resolution of the stored *_scores zip members.  "network" (the
+    # rounds-loop default) keeps them at the network output resolution:
+    # the reference's eval-res array (labels_from_segnet.py:91-95) is a
+    # deterministic bilinear upsample of it carrying zero information —
+    # the training reader resizes scores back to the input resolution
+    # anyway (data/estimated.py) — while materializing it costs ~210
+    # ms/img of host time (tools/relabel_probe.py).  Set "eval" for
+    # reference disk parity.  PRED members are identical either way.
+    score_store: str = "network"
 
 
 def to_json(cfg) -> str:

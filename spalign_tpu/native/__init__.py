@@ -68,6 +68,24 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.spalign_one_minus_f16.restype = ctypes.c_int32
+        lib.spalign_one_minus_f16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+        ]
+        lib.spalign_confusion_remapped.restype = ctypes.c_int32
+        lib.spalign_confusion_remapped.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.spalign_standardize_invert.restype = ctypes.c_int32
+        lib.spalign_standardize_invert.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -137,6 +155,78 @@ def confusion_vs_labelids(pred_small: np.ndarray,
     if rc < 0:
         raise ValueError("spalign_confusion: invalid arguments")
     return out.reshape(2, 2)
+
+
+def one_minus_f16(x: np.ndarray) -> np.ndarray:
+    """Elementwise ``1 - x`` on a float16 array via a 64K-entry bit LUT
+    (one C++ pass; numpy's scalarized f16 cast costs ~145 ms per 2 MP
+    plane).  Bit-exact vs ``(1.0 - x.astype(f32)).astype(f16)`` — both
+    round the f32 result to nearest-even binary16.  Falls back to the
+    numpy chain without the native library."""
+    x = np.ascontiguousarray(x, dtype=np.float16)
+    lib = get_lib()
+    if lib is None:
+        return (1.0 - x.astype(np.float32)).astype(np.float16)
+    out = np.empty_like(x)
+    rc = lib.spalign_one_minus_f16(
+        x.view(np.uint16).ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.view(np.uint16).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16)),
+        x.size)
+    if rc < 0:
+        raise ValueError("one_minus_f16: invalid arguments")
+    return out
+
+
+def confusion_remapped(pred_bool: np.ndarray, gt: np.ndarray):
+    """2x2 confusion conf[gt][pred] for same-resolution pred {0,1} and
+    gt in {-1,0,1} (gt outside {0,1} is void/ignored) — the relabel
+    eval convention (selftrain/relabel.py).  Returns (2, 2) int64, or
+    None when the native library is unavailable (callers fall back to
+    the numpy bincount path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pred = np.ascontiguousarray(pred_bool, dtype=np.uint8)
+    gt = np.ascontiguousarray(gt, dtype=np.int32)
+    if pred.size != gt.size:
+        raise ValueError(f"shape mismatch {pred.shape} vs {gt.shape}")
+    out = np.empty((4,), np.int64)
+    rc = lib.spalign_confusion_remapped(
+        pred.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        gt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), pred.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc < 0:
+        raise ValueError("confusion_remapped: invalid arguments")
+    return out.reshape(2, 2)
+
+
+def standardize_invert_u8(imgs: np.ndarray, mean, std) -> np.ndarray:
+    """``clip(rint(imgs * std + mean), 0, 255).astype(u8)`` over
+    (..., 3) float32 images in ONE C++ pass (round-half-even via
+    nearbyintf == np.rint bit-for-bit; the numpy chain's rint/clip/cast
+    temporaries cost ~23 ms per 0.5 MP image).  The relabel u8 wire's
+    host-side standardization inversion."""
+    imgs = np.ascontiguousarray(imgs, dtype=np.float32)
+    if imgs.shape[-1] != 3:
+        raise ValueError(f"expected trailing channel 3, got {imgs.shape}")
+    lib = get_lib()
+    if lib is None:
+        return np.clip(np.rint(imgs * std + mean), 0, 255).astype(np.uint8)
+    mean3 = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(mean, np.float32), (3,)))
+    std3 = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(std, np.float32), (3,)))
+    out = np.empty(imgs.shape, np.uint8)
+    rc = lib.spalign_standardize_invert(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        imgs.size // 3,
+        mean3.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std3.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError("standardize_invert: invalid arguments")
+    return out
 
 
 # ------------------------- numpy fallbacks ---------------------------------

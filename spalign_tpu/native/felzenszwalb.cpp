@@ -199,6 +199,62 @@ int32_t relabel(DisjointSet& ds, int32_t n, int32_t* labels_out) {
   return next;
 }
 
+// IEEE binary16 <-> binary32 (round-to-nearest-even), portable — no
+// F16C dependency.  Used by the f16 LUT ops below.
+inline float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1Fu;
+  uint32_t man = h & 0x3FFu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;
+    } else {  // subnormal: renormalize
+      int shift = 0;
+      while (!(man & 0x400u)) {
+        man <<= 1;
+        ++shift;
+      }
+      man &= 0x3FFu;
+      bits = sign | ((uint32_t)(127 - 15 - shift) << 23) | (man << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (man << 13);  // inf / nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+inline uint16_t float_to_half(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  uint32_t fexp = (x >> 23) & 0xFFu;
+  uint32_t man = x & 0x7FFFFFu;
+  if (fexp == 0xFFu)  // inf / nan
+    return (uint16_t)(sign | 0x7C00u | (man ? 0x200u : 0));
+  int32_t exp = (int32_t)fexp - 127 + 15;
+  if (exp >= 31) return (uint16_t)(sign | 0x7C00u);  // overflow -> inf
+  if (exp <= 0) {                                    // subnormal / zero
+    if (exp < -10) return (uint16_t)sign;
+    man |= 0x800000u;
+    int shift = 14 - exp;
+    uint32_t hman = man >> shift;
+    uint32_t rem = man & ((1u << shift) - 1u);
+    uint32_t half = 1u << (shift - 1);
+    if (rem > half || (rem == half && (hman & 1u))) ++hman;
+    return (uint16_t)(sign | hman);
+  }
+  uint16_t h = (uint16_t)(sign | ((uint32_t)exp << 10) | (man >> 13));
+  uint32_t rem = man & 0x1FFFu;
+  // RNE; a mantissa carry propagates into the exponent correctly
+  if (rem > 0x1000u || (rem == 0x1000u && (h & 1u))) ++h;
+  return h;
+}
+
 }  // namespace
 
 extern "C" {
@@ -460,6 +516,70 @@ int32_t spalign_confusion(const uint8_t* pred, int32_t ph, int32_t pw,
   out[1] = cnt[3];
   out[2] = cnt[4];
   out[3] = cnt[5];
+  return 0;
+}
+
+// out[i] = (binary16) 1.0f - in[i] over raw f16 bit patterns, via a
+// 65536-entry LUT (one conversion table covers every possible input).
+// The relabel pass derives softmax channel 1 as 1 - ch0 on megapixel
+// f16 planes (labels_from_segnet.py:91-95 stores both channels);
+// numpy's scalarized f16 cast costs ~145 ms per 2 MP image, this is a
+// table gather (~2 ms).
+int32_t spalign_one_minus_f16(const uint16_t* in, uint16_t* out,
+                              int64_t n) {
+  if (!in || !out || n < 0) return -1;
+  static const uint16_t* lut = [] {
+    uint16_t* t = new uint16_t[65536];
+    for (uint32_t v = 0; v < 65536; ++v)
+      t[v] = float_to_half(1.0f - half_to_float((uint16_t)v));
+    return t;
+  }();
+  for (int64_t i = 0; i < n; ++i) out[i] = lut[in[i]];
+  return 0;
+}
+
+// 2x2 confusion of a full-res {0,1} pred against gt labels in
+// {-1, 0, 1} (anything outside {0, 1} is void and ignored — the
+// relabel eval convention, selftrain/relabel.py).  One pass, ~3 ms per
+// 2 MP image vs ~26 ms for the numpy add+bincount chain.
+// out: int64[4] = conf[gt][pred] row-major.
+int32_t spalign_confusion_remapped(const uint8_t* pred, const int32_t* gt,
+                                   int64_t n, int64_t* out) {
+  if (!pred || !gt || !out || n < 0) return -1;
+  int64_t c[4] = {0, 0, 0, 0};
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t g = (uint32_t)gt[i];  // negatives wrap to huge values
+    if (g > 1u) continue;
+    c[g * 2 + (pred[i] ? 1u : 0u)]++;
+  }
+  out[0] = c[0];
+  out[1] = c[1];
+  out[2] = c[2];
+  out[3] = c[3];
+  return 0;
+}
+
+// u8[i*3+c] = clip(rint(in[i*3+c] * std[c] + mean[c]), 0, 255) over an
+// interleaved HWC float32 image — the relabel u8 wire's host-side
+// standardization inversion (selftrain/relabel.py _to_u8; ~23 ms/img
+// in numpy from the rint/clip/cast temporaries, ~5 ms here).
+// nearbyintf under the default FE_TONEAREST mode is round-half-even,
+// matching np.rint bit-for-bit.
+int32_t spalign_standardize_invert(const float* in, int64_t npix,
+                                   const float* mean, const float* std3,
+                                   uint8_t* out) {
+  if (!in || !mean || !std3 || !out || npix < 0) return -1;
+  const float m0 = mean[0], m1 = mean[1], m2 = mean[2];
+  const float s0 = std3[0], s1 = std3[1], s2 = std3[2];
+  for (int64_t i = 0; i < npix; ++i) {
+    const float* p = in + i * 3;
+    float v0 = nearbyintf(p[0] * s0 + m0);
+    float v1 = nearbyintf(p[1] * s1 + m1);
+    float v2 = nearbyintf(p[2] * s2 + m2);
+    out[i * 3 + 0] = (uint8_t)(v0 < 0.f ? 0.f : (v0 > 255.f ? 255.f : v0));
+    out[i * 3 + 1] = (uint8_t)(v1 < 0.f ? 0.f : (v1 > 255.f ? 255.f : v1));
+    out[i * 3 + 2] = (uint8_t)(v2 < 0.f ? 0.f : (v2 > 255.f ? 255.f : v2));
+  }
   return 0;
 }
 

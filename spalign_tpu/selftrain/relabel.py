@@ -38,16 +38,31 @@ def _host_confusion_remapped(pred_bool: np.ndarray,
                              gt: np.ndarray) -> np.ndarray:
     """2x2 confusion conf[gt][pred] for gt in {-1,0,1}.  Any gt outside
     {0,1} is void/ignored (the device confusion_matrix this replaces
-    masked every gt < 0; clipping keeps e.g. a stray -100 harmless
-    instead of crashing bincount).  Runs on the HOST from the
-    already-downloaded preds: shipping 2 MB/img of gt UP the scarce
-    uplink for a 2x2 result back is the wrong direction (same reasoning
-    as label_gen.host_confusion).  One add + bincount, no boolean
-    indexing (~20 ms per 2 MP image)."""
+    masked every gt < 0).  Runs on the HOST from the already-downloaded
+    preds: shipping 2 MB/img of gt UP the scarce uplink for a 2x2
+    result back is the wrong direction (same reasoning as
+    label_gen.host_confusion).  Native one-pass C++ count (~3 ms per
+    2 MP image); numpy add+bincount fallback (~26 ms)."""
+    from spalign_tpu import native
+
+    conf = native.confusion_remapped(pred_bool, gt)
+    if conf is not None:
+        return conf
     gt_i = np.clip(gt.astype(np.int64), -1, 2)  # void rows: -1 and 2
     idx = ((gt_i + 1) * 2 + pred_bool.astype(np.int64)).ravel()
     c = np.bincount(idx, minlength=8)
     return np.array([[c[2], c[3]], [c[4], c[5]]], np.int64)
+
+
+def _one_minus(a: np.ndarray) -> np.ndarray:
+    """``1 - a`` preserving dtype; f16 goes through the native 64K-LUT
+    pass (bit-exact vs the numpy chain, which scalarizes f16 casts at
+    ~145 ms per 2 MP plane)."""
+    if a.dtype == np.float16:
+        from spalign_tpu import native
+
+        return native.one_minus_f16(a)
+    return (1.0 - a.astype(np.float32)).astype(a.dtype)
 
 
 class NpzShardWriter:
@@ -98,7 +113,8 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
                     save_panels: bool = False,
                     save_each: bool = False,
                     prefetch: int = 2, in_flight: int = 2,
-                    input_wire: str = "auto", standardize=None):
+                    input_wire: str = "auto", standardize=None,
+                    score_store: str = "eval"):
     """Predict labels for every image in ``dataset`` and stream them into
     ``out_zip``.
 
@@ -150,6 +166,20 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
     name (:93) — a bug deliberately not reproduced: here _scores gets
     the scores.
 
+    score_store: resolution of the stored ``*_scores`` members.
+      ``"eval"`` (default) replicates the reference's disk format —
+      (n_class, *eval_shape) per image (labels_from_segnet.py:91-95).
+      ``"network"`` stores them at the network output resolution
+      instead: the eval-res array is a deterministic bilinear upsample
+      of it (pure presentation — zero information — and the training
+      reader resizes scores back to the input resolution anyway,
+      data/estimated.py), yet materializing it costs ~210 ms/img of
+      host time on this 1-core box (upsample + f16 cast + 4x the zip
+      bytes, tools/relabel_probe.py) — the difference between ~4 and
+      ~8+ img/s for the whole pass.  The PRED members are identical in
+      both modes.  The self-training rounds loop uses "network"
+      (RoundsConfig.score_store).
+
     Returns the list of per-image eval records (empty metrics when no gt).
     """
     from spalign_tpu.pipeline.label_gen import (pack_mask_bits,
@@ -167,6 +197,8 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
     std_std = np.asarray(standardize[1], np.float32)
     if input_wire not in ("auto", "u8", "f32", "f16"):
         raise ValueError(f"unknown input_wire {input_wire!r}")
+    if score_store not in ("eval", "network"):
+        raise ValueError(f"unknown score_store {score_store!r}")
     wire = {"mode": None if input_wire == "auto" else input_wire}
 
     def _resolve_wire(imgs_std: np.ndarray) -> str:
@@ -180,8 +212,11 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         return wire["mode"]
 
     def _to_u8(imgs_std: np.ndarray) -> np.ndarray:
-        return np.clip(np.rint(imgs_std * std_std + std_mean),
-                       0, 255).astype(np.uint8)
+        from spalign_tpu import native
+
+        # one C++ pass (rint/clip/cast, bit-equal to the numpy chain it
+        # falls back to; ~23 -> ~5 ms per 0.5 MP image on this host)
+        return native.standardize_invert_u8(imgs_std, std_mean, std_std)
 
     def _predict(v, im):
         if im.dtype == jnp.uint8:  # u8 wire: standardize on device
@@ -275,13 +310,14 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
                                     eval_shape[1])[:len(idx)]
         scores_np = (got.get("score")[:len(idx)]
                      if soft_label else None)
-        if scores_np is not None and scores_np.shape[2:] != tuple(
-                eval_shape):
+        if (scores_np is not None and score_store == "eval"
+                and scores_np.shape[2:] != tuple(eval_shape)):
             # the device sent the network-resolution score; replicate
             # its bilinear upsample on the host (cv2 INTER_LINEAR uses
             # the same half-pixel-center convention as
             # jax.image.resize('linear'); differences are float-rounding
-            # scale, below the f16 storage quantum)
+            # scale, below the f16 storage quantum).  score_store=
+            # "network" skips this materialization entirely.
             import cv2
 
             scores_np = np.stack([
@@ -295,8 +331,7 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
             # binary: the device sent ch0 only; ch1 = 1 - ch0 (softmax
             # sums to one; bilinear resize preserves affine sums)
             scores_np = np.concatenate(
-                [scores_np, (1.0 - scores_np.astype(np.float32)).astype(
-                    scores_np.dtype)], axis=1)
+                [scores_np, _one_minus(scores_np)], axis=1)
         confs = None
         if gts is not None:
             confs = np.stack([

@@ -128,6 +128,7 @@ class RoundsDriver:
             eval_shape=cfg.eval_shape, batch_size=cfg.batchsize,
             soft_label=soft, mesh=trainer.mesh,
             score_dtype=np.dtype(cfg.score_dtype),
+            score_store=cfg.score_store,
             out_dir=os.path.join(result_dir,
                                  f"iter-{iteration}_eval-train"))
         return out_zip

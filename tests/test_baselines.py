@@ -229,6 +229,43 @@ def test_native_confusion_matches_numpy_chain():
         np.testing.assert_array_equal(a, b)
 
 
+def test_native_relabel_host_ops_match_numpy():
+    """The three relabel host-path C++ ops (one_minus_f16 over all 64K
+    bit patterns, confusion_remapped incl. out-of-range void gt,
+    standardize_invert_u8 rint/clip/cast) must be bit-equal to the
+    numpy chains they replace (selftrain/relabel.py fallbacks)."""
+    from spalign_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    # 1 - x over every possible f16 bit pattern (NaN-in -> NaN-out)
+    x = np.arange(65536, dtype=np.uint16).view(np.float16)
+    got = native.one_minus_f16(x)
+    with np.errstate(invalid="ignore"):
+        ref = (1.0 - x.astype(np.float32)).astype(np.float16)
+    nan_both = np.isnan(got) & np.isnan(ref)
+    mism = (got.view(np.uint16) != ref.view(np.uint16)) & ~nan_both
+    assert not mism.any()
+
+    rng = np.random.RandomState(7)
+    pred = rng.rand(257, 511) > 0.5
+    gt = rng.randint(-1, 2, (257, 511)).astype(np.int32)
+    gt.ravel()[::97] = -100  # stray void value outside {-1,0,1}
+    conf = native.confusion_remapped(pred, gt)
+    gt_i = np.clip(gt.astype(np.int64), -1, 2)
+    idx = ((gt_i + 1) * 2 + pred.astype(np.int64)).ravel()
+    c = np.bincount(idx, minlength=8)
+    np.testing.assert_array_equal(
+        conf, np.array([[c[2], c[3]], [c[4], c[5]]], np.int64))
+
+    imgs = (rng.randn(2, 37, 53, 3) * 2).astype(np.float32)
+    mean = np.array([73.1, 82.9, 72.4], np.float32)
+    std = np.array([44.9, 46.2, 45.3], np.float32)
+    got = native.standardize_invert_u8(imgs, mean, std)
+    np.testing.assert_array_equal(
+        got, np.clip(np.rint(imgs * std + mean), 0, 255).astype(np.uint8))
+
+
 def test_downscale_knob_rejected_off_device_slic_path():
     """slic_device_downscale>1 is read only by the device-SLIC
     frontends (overlaps mode and the fused spalign program); every

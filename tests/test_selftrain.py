@@ -437,6 +437,80 @@ def test_relabel_small_score_downlink_matches_device_resize(tmp_path):
                                        atol=2e-3)
 
 
+def test_relabel_score_store_network(tmp_path):
+    """score_store="network" keeps the *_scores zip members at the
+    network output resolution (the eval-res copy is a deterministic
+    bilinear upsample carrying no information; RoundsConfig.score_store
+    default).  Preds stay at eval res either way, and the training
+    reader resizes network-res scores to the input shape."""
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    ds, img_dir, init_zip = setup_sources(tmp_path)
+    adapter = RelabelAdapter(ds)
+    eval_hw = (HW[0] * 2, HW[1] * 2)
+
+    class EvalResAdapter:
+        def __len__(self):
+            return len(adapter)
+
+        def image_name(self, i):
+            return adapter.image_name(i)
+
+        def __getitem__(self, i):
+            img, gt = adapter[i]
+            gt_big = cv2.resize(gt.astype(np.uint8), eval_hw[::-1],
+                                interpolation=cv2.INTER_NEAREST)
+            return img, gt_big.astype(np.int32)
+
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(0),
+                           np.zeros((1, *HW, 3), np.float32))
+
+    def run(tag, store):
+        out = str(tmp_path / f"{tag}.0.zip")
+        recs = relabel_dataset(model, variables, EvalResAdapter(), out,
+                               eval_shape=eval_hw, batch_size=4,
+                               soft_label=True, score_dtype=np.float16,
+                               score_store=store)
+        arrays = {}
+        with np.load(out) as npz:
+            for k in npz.files:
+                arrays[k] = npz[k]
+        return recs, arrays
+
+    recs_e, a_e = run("eval_store", "eval")
+    recs_n, a_n = run("net_store", "network")
+    assert set(a_e) == set(a_n)
+    for k in a_e:
+        if k.endswith("_scores"):
+            assert a_e[k].shape == (2, *eval_hw)
+            assert a_n[k].shape == (2, *HW)  # network res = input res
+            # eval-res store is exactly the bilinear upsample of the
+            # network-res one (to f16 rounding)
+            import cv2 as _cv2
+
+            up = np.stack([
+                _cv2.resize(a_n[k][c].astype(np.float32), eval_hw[::-1],
+                            interpolation=_cv2.INTER_LINEAR)
+                for c in range(2)]).astype(np.float16)
+            np.testing.assert_allclose(a_e[k].astype(np.float32),
+                                       up.astype(np.float32), atol=2e-3)
+        else:
+            np.testing.assert_array_equal(a_e[k], a_n[k])
+    # per-image metrics identical (confusion runs on preds, not scores)
+    for re_, rn in zip(recs_e, recs_n):
+        assert re_["road_iou"] == rn["road_iou"]
+    # training reader accepts the network-res store
+    train_ds = EstimatedCityscapesDataset(
+        img_dir, str(tmp_path / "net_store.0.zip"), HW,
+        use_soft_label=True)
+    img, soft = train_ds[0]
+    assert soft.dtype == np.float32 and soft.shape == (*HW, 2)
+
+
 def test_relabel_sharded_equals_unsharded(tmp_path):
     """relabel_dataset(mesh=...) shards the predict batch over the data
     axis (the reference sharded relabeling across GPU worker processes,

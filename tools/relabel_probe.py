@@ -30,7 +30,7 @@ import numpy as np
 H, W = 512, 1024
 EVAL_HW = (1024, 2048)
 BATCH = 8
-N_IMGS = 32
+N_IMGS = 16  # 2 batches; each 2 MP synthetic render costs host seconds
 
 
 def main(part: str = "e2e"):
@@ -48,14 +48,21 @@ def main(part: str = "e2e"):
         """(standardized image at input res, full-res gt)."""
 
         def __init__(self, n=N_IMGS):
+            import cv2
+
             self.n = n
-            # pre-resize on the host ONCE (dataset load cost is not the
-            # pass; the real loader amortizes it behind device time)
-            imgs, labs = ds_full.resized_batch(range(n), (H, W))
-            self.imgs = ((imgs.astype(np.float32) - CITYSCAPES_MEAN)
-                         / CITYSCAPES_STD)
-            self.gts = np.stack([
-                (ds_full[i][1] == 7).astype(np.int32) for i in range(n)])
+            # ONE render per image (each 2 MP scene costs host seconds;
+            # dataset load cost is not the pass under test — the real
+            # loader amortizes it behind device time)
+            imgs, gts = [], []
+            for i in range(n):
+                img, lab = ds_full[i]
+                imgs.append(cv2.resize(img, (W, H),
+                                       interpolation=cv2.INTER_AREA))
+                gts.append((lab == 7).astype(np.int32))
+            self.imgs = ((np.stack(imgs).astype(np.float32)
+                          - CITYSCAPES_MEAN) / CITYSCAPES_STD)
+            self.gts = np.stack(gts)
 
         def __len__(self):
             return self.n
@@ -71,17 +78,14 @@ def main(part: str = "e2e"):
     variables = model.init(jax.random.key(0),
                            np.zeros((1, H, W, 3), np.float32))
 
-    variants = [("A u8+packed+ch0", {})]
-    # variants B/C are keyed on relabel_dataset kwargs added this round;
-    # probe stays runnable on the pre-change tree (they just vanish)
+    variants = [("A eval-res zip", {})]
+    # variant B keys on the relabel_dataset kwarg added this round; the
+    # probe stays runnable on the pre-change tree (it just vanishes)
     import inspect
 
     params = inspect.signature(relabel_dataset).parameters
-    if "host_preds" in params:
-        variants.append(("B +host preds", {"host_preds": True}))
     if "score_store" in params:
-        variants.append(("C +net-res zip", {"host_preds": True,
-                                            "score_store": "network"}))
+        variants.append(("B net-res zip", {"score_store": "network"}))
 
     if part == "e2e":
         results = {name: [] for name, _ in variants}
@@ -136,7 +140,10 @@ def main(part: str = "e2e"):
         return {"packed": pack_mask_bits(labels.astype(bool)),
                 "score": chw[:, :1]}
 
+    n_b = N_IMGS // BATCH
+
     def u8_batch(i):
+        i = i % n_b
         imgs = view.imgs[i * BATCH:(i + 1) * BATCH]
         return np.clip(np.rint(imgs * std + mean), 0, 255).astype(np.uint8)
 
@@ -158,8 +165,9 @@ def main(part: str = "e2e"):
     # host wire prep (standardization inversion)
     t0 = time.time()
     for i in range(4):
-        u8_batch(i % 4)
-    print(f"host u8 prep: {(time.time()-t0)/4/BATCH*1e3:.1f} ms/img")
+        u8_batch(i)
+    print(f"host u8 prep: {(time.time()-t0)/4/BATCH*1e3:.1f} ms/img",
+          flush=True)
 
     # upload
     for i in range(2):
@@ -174,7 +182,7 @@ def main(part: str = "e2e"):
 
     # device exec (chained behind one fence)
     n = 6
-    ins = [jnp.asarray(u8_batch(i % 4) ^ (i // 4 + 1)) for i in range(n)]
+    ins = [jnp.asarray(u8_batch(i) ^ (i // n_b + 1)) for i in range(n)]
     np.asarray(ins[-1][0, 0, 0, 0])
     t0 = time.time()
     for x in ins:
