@@ -16,8 +16,11 @@
 // the boundary.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <numeric>
@@ -64,7 +67,14 @@ struct DisjointSet {
 };
 
 // Separable Gaussian blur, reflect boundary, truncate = 4 sigma.
-void gaussian_blur(const float* src, float* dst, int h, int w, int stride_c,
+//
+// Tap loops are INTERCHANGED (x contiguous in the inner loop, one tap
+// pair per outer iteration): the natural per-pixel tap loop has a
+// runtime trip count the compiler refuses to vectorize, and this shape
+// cut the 224^2x3 blur from ~1.8 ms to well under 1 ms (felz_probe
+// --stages).  `tmp` is caller-provided scratch of h*w floats so the
+// per-channel calls don't churn the allocator.
+void gaussian_blur(const float* src, float* dst, float* tmp, int h, int w,
                    float sigma) {
   if (sigma <= 0.f) {
     std::memcpy(dst, src, sizeof(float) * h * w);
@@ -88,12 +98,11 @@ void gaussian_blur(const float* src, float* dst, int h, int w, int stride_c,
     return (i < n) ? i : (period - 1 - i);
   };
 
-  std::vector<float> tmp((size_t)h * w);
-  // horizontal: reflect only near the borders; the interior runs a
-  // branch-free tap loop the compiler can vectorize
+  // horizontal: reflect only near the borders; the interior accumulates
+  // one (left, right) tap pair per pass over a contiguous x range
   for (int y = 0; y < h; ++y) {
     const float* row = src + (size_t)y * w;
-    float* out = tmp.data() + (size_t)y * w;
+    float* out = tmp + (size_t)y * w;
     int lo = std::min(radius, w);
     int hi = std::max(lo, w - radius);
     for (int x = 0; x < lo; ++x) {
@@ -102,11 +111,12 @@ void gaussian_blur(const float* src, float* dst, int h, int w, int stride_c,
         acc += k[r] * (row[reflect(x - r, w)] + row[reflect(x + r, w)]);
       out[x] = acc;
     }
-    for (int x = lo; x < hi; ++x) {
-      float acc = k[0] * row[x];
-      for (int r = 1; r <= radius; ++r)
-        acc += k[r] * (row[x - r] + row[x + r]);
-      out[x] = acc;
+    for (int x = lo; x < hi; ++x) out[x] = k[0] * row[x];
+    for (int r = 1; r <= radius; ++r) {
+      const float kr = k[r];
+      const float* l = row - r;
+      const float* rt = row + r;
+      for (int x = lo; x < hi; ++x) out[x] += kr * (l[x] + rt[x]);
     }
     for (int x = hi; x < w; ++x) {
       float acc = k[0] * row[x];
@@ -115,24 +125,20 @@ void gaussian_blur(const float* src, float* dst, int h, int w, int stride_c,
       out[x] = acc;
     }
   }
-  // vertical: the reflected row indices depend only on y — hoist the
-  // row pointers out of the contiguous inner loop
-  std::vector<const float*> rows(2 * radius + 1);
+  // vertical: the reflected row indices depend only on y — one tap pair
+  // of contiguous rows per inner pass
   for (int y = 0; y < h; ++y) {
     float* out = dst + (size_t)y * w;
-    const float* mid = tmp.data() + (size_t)y * w;
+    const float* mid = tmp + (size_t)y * w;
+    const float k0 = k[0];
+    for (int x = 0; x < w; ++x) out[x] = k0 * mid[x];
     for (int r = 1; r <= radius; ++r) {
-      rows[2 * r - 2] = tmp.data() + (size_t)reflect(y - r, h) * w;
-      rows[2 * r - 1] = tmp.data() + (size_t)reflect(y + r, h) * w;
-    }
-    for (int x = 0; x < w; ++x) {
-      float acc = k[0] * mid[x];
-      for (int r = 1; r <= radius; ++r)
-        acc += k[r] * (rows[2 * r - 2][x] + rows[2 * r - 1][x]);
-      out[x] = acc;
+      const float kr = k[r];
+      const float* up = tmp + (size_t)reflect(y - r, h) * w;
+      const float* dn = tmp + (size_t)reflect(y + r, h) * w;
+      for (int x = 0; x < w; ++x) out[x] += kr * (up[x] + dn[x]);
     }
   }
-  (void)stride_c;
 }
 
 // Stable ascending order of non-negative float weights over packed
@@ -199,6 +205,24 @@ int32_t relabel(DisjointSet& ds, int32_t n, int32_t* labels_out) {
   return next;
 }
 
+// Same, over a bare parent array (the felzenszwalb main path keeps its
+// union-find as separate parent / {size,threshold} arrays — see below).
+int32_t relabel_parents(std::vector<int32_t>& parent, int32_t n,
+                        int32_t* labels_out) {
+  std::vector<int32_t> remap(n, -1);
+  int32_t next = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t x = i;
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    if (remap[x] < 0) remap[x] = next++;
+    labels_out[i] = remap[x];
+  }
+  return next;
+}
+
 // IEEE binary16 <-> binary32 (round-to-nearest-even), portable — no
 // F16C dependency.  Used by the f16 LUT ops below.
 inline float half_to_float(uint16_t h) {
@@ -255,6 +279,29 @@ inline uint16_t float_to_half(float f) {
   return h;
 }
 
+// Stage timing for optimization work only: SPALIGN_FELZ_TIMING=1 prints
+// per-stage microseconds to stderr.  Off (the default) it is one cached
+// getenv test per call.
+struct StageClock {
+  bool on;
+  std::chrono::steady_clock::time_point t;
+  explicit StageClock() {
+    static const bool enabled = [] {
+      const char* e = std::getenv("SPALIGN_FELZ_TIMING");
+      return e && e[0] == '1';
+    }();
+    on = enabled;
+    if (on) t = std::chrono::steady_clock::now();
+  }
+  void lap(const char* name) {
+    if (!on) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[felz] %-10s %7.0f us\n", name,
+                 std::chrono::duration<double, std::micro>(now - t).count());
+    t = now;
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -267,17 +314,35 @@ int32_t spalign_felzenszwalb(const float* img, int32_t h, int32_t w,
                              int32_t min_size, int32_t* labels_out) {
   if (h <= 0 || w <= 0 || c <= 0 || !img || !labels_out) return -1;
   const int64_t n = (int64_t)h * w;
+  StageClock clk;
 
-  // Smooth each channel into planar layout.
+  // Smooth each channel into planar layout.  De-interleave ALL channels
+  // in one pass over the interleaved image (one read stream instead of
+  // c strided sweeps), then blur each plane with shared scratch.
   std::vector<float> smooth((size_t)c * n);
   {
-    std::vector<float> plane(n);
-    for (int ch = 0; ch < c; ++ch) {
-      for (int64_t i = 0; i < n; ++i) plane[i] = img[i * c + ch];
-      gaussian_blur(plane.data(), smooth.data() + (size_t)ch * n, h, w, 0,
-                    sigma);
+    std::vector<float> planes((size_t)c * n);
+    if (c == 3) {
+      float* p0 = planes.data();
+      float* p1 = planes.data() + n;
+      float* p2 = planes.data() + 2 * (size_t)n;
+      for (int64_t i = 0; i < n; ++i) {
+        p0[i] = img[i * 3 + 0];
+        p1[i] = img[i * 3 + 1];
+        p2[i] = img[i * 3 + 2];
+      }
+    } else {
+      for (int ch = 0; ch < c; ++ch) {
+        float* p = planes.data() + (size_t)ch * n;
+        for (int64_t i = 0; i < n; ++i) p[i] = img[i * c + ch];
+      }
     }
+    std::vector<float> tmp(n);
+    for (int ch = 0; ch < c; ++ch)
+      gaussian_blur(planes.data() + (size_t)ch * n,
+                    smooth.data() + (size_t)ch * n, tmp.data(), h, w, sigma);
   }
+  clk.lap("blur");
 
   // 8-connected edge weights, one CONTIGUOUS plane per direction
   // (E=+1, S=+w, SE=+w+1, SW=+w-1): the shifted-difference loops below
@@ -311,6 +376,7 @@ int32_t spalign_felzenszwalb(const float* img, int32_t h, int32_t w,
     }
     (void)kOffS;
   }
+  clk.lap("planes");
 
   // Pack (weight bits << 32 | p*4 + d): ties sort by (pixel, direction)
   // with directions in E,S,SE,SW order — the exact stable order of the
@@ -345,29 +411,52 @@ int32_t spalign_felzenszwalb(const float* img, int32_t h, int32_t w,
       }
     }
   }
+  clk.lap("pack+hist");
   sort_keyed_stable(keyed, hists);
+  clk.lap("sort");
   uint32_t sentinel_bits;
   {
     float s = FLT_MAX_SENTINEL();
     std::memcpy(&sentinel_bits, &s, 4);
   }
 
-  DisjointSet ds((int32_t)n);
-  std::vector<float> threshold(n, scale);  // tau(C) = scale / |C|, |C|=1
-  size_t m_valid = keyed.size();
+  // Union-find as a bare parent array plus packed {size, threshold}
+  // nodes: the sweep reads BOTH fields for both roots on every edge, so
+  // packing them puts each root's pair on one cache line (two random
+  // loads per edge instead of four into separate 200 KB arrays).
+  std::vector<int32_t> parent(n);
+  std::iota(parent.begin(), parent.end(), 0);
+  struct Node {
+    int32_t size;
+    float threshold;  // tau(C) = scale / |C|, |C|=1 initially
+  };
+  std::vector<Node> node(n, Node{1, scale});
+  auto find = [&parent](int32_t x) {
+    // path halving: one pass, same roots as full compression (the
+    // internal tree shape never affects which root represents a set)
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+
   constexpr size_t kPF = 12;  // edges of lookahead for the prefetches
   const size_t m_all = keyed.size();
   // number of components below min_size, maintained across both sweeps:
   // the post-pass can stop the moment it hits zero (real images absorb
   // most fragments early in the ascending-weight order)
   int64_t n_small = (min_size > 1) ? n : 0;
+  // Edges that FAIL the threshold test are the only ones that can still
+  // join two roots in the min-size post-pass (merged edges end up
+  // same-root; same-root edges stay same-root), so record them — in
+  // sweep order, i.e. ascending weight — and post-scan only that list.
+  std::vector<uint32_t> boundary;
+  boundary.reserve((size_t)n / 4);
   for (size_t s = 0; s < m_all; ++s) {
     const uint64_t word = keyed[s];
     const uint32_t kbits = (uint32_t)(word >> 32);
-    if (kbits == sentinel_bits) {  // all real edges processed
-      m_valid = s;
-      break;
-    }
+    if (kbits == sentinel_bits) break;  // all real edges processed
     if (s + kPF < m_all) {
       // the union-find roots chase pointers through 200 KB+ arrays in
       // edge order, which is effectively random: prefetch the two
@@ -375,51 +464,60 @@ int32_t spalign_felzenszwalb(const float* img, int32_t h, int32_t w,
       // path halving, so the first hop covers most of the latency)
       const uint32_t fi = (uint32_t)keyed[s + kPF];
       const int32_t fp = (int32_t)(fi >> 2);
-      __builtin_prefetch(&ds.parent[fp]);
-      __builtin_prefetch(&ds.parent[fp + offs[fi & 3]]);
+      __builtin_prefetch(&parent[fp]);
+      __builtin_prefetch(&parent[fp + offs[fi & 3]]);
     }
     const uint32_t i = (uint32_t)word;
     const int32_t p = (int32_t)(i >> 2);
     float ew;
     std::memcpy(&ew, &kbits, 4);
-    int32_t a = ds.find(p);
-    int32_t b = ds.find(p + offs[i & 3]);
+    int32_t a = find(p);
+    int32_t b = find(p + offs[i & 3]);
     if (a == b) continue;
     // branchless pair test: one compare against min(tau_a, tau_b)
     // (identical result to `ew <= ta && ew <= tb`; always loading both
     // thresholds costs less than the mispredicts of the && form)
-    if (ew <= std::min(threshold[a], threshold[b])) {
-      n_small -= (ds.size[a] < min_size) + (ds.size[b] < min_size);
-      int32_t m = ds.merge(a, b);
-      threshold[m] = ew + scale / (float)ds.size[m];
-      n_small += ds.size[m] < min_size;
+    const Node na = node[a], nb = node[b];
+    if (ew <= std::min(na.threshold, nb.threshold)) {
+      n_small -= (na.size < min_size) + (nb.size < min_size);
+      // union by size (same policy as DisjointSet::merge / the numpy
+      // oracle; tree shape never affects which pixels share a root)
+      int32_t root = a, child = b;
+      if (na.size < nb.size) std::swap(root, child);
+      parent[child] = root;
+      const int32_t ns = na.size + nb.size;
+      node[root] = Node{ns, ew + scale / (float)ns};
+      n_small += ns < min_size;
+    } else {
+      boundary.push_back(i);
     }
   }
+  clk.lap("sweep");
 
-  // Post-pass: absorb small components (same ascending edge order),
-  // stopping as soon as none remain.
+  // Post-pass: absorb small components (same ascending edge order over
+  // the recorded boundary edges), stopping as soon as none remain.
   if (min_size > 1 && n_small > 0) {
-    for (size_t s = 0; s < m_valid; ++s) {
-      if (s + kPF < m_valid) {
-        const uint32_t fi = (uint32_t)keyed[s + kPF];
-        const int32_t fp = (int32_t)(fi >> 2);
-        __builtin_prefetch(&ds.parent[fp]);
-        __builtin_prefetch(&ds.parent[fp + offs[fi & 3]]);
-      }
-      const uint32_t i = (uint32_t)keyed[s];
+    for (uint32_t i : boundary) {
       const int32_t p = (int32_t)(i >> 2);
-      int32_t a = ds.find(p);
-      int32_t b = ds.find(p + offs[i & 3]);
-      if (a != b && (ds.size[a] < min_size || ds.size[b] < min_size)) {
-        n_small -= (ds.size[a] < min_size) + (ds.size[b] < min_size);
-        int32_t m = ds.merge(a, b);
-        n_small += ds.size[m] < min_size;
+      int32_t a = find(p);
+      int32_t b = find(p + offs[i & 3]);
+      if (a != b &&
+          (node[a].size < min_size || node[b].size < min_size)) {
+        n_small -= (node[a].size < min_size) + (node[b].size < min_size);
+        int32_t root = a, child = b;
+        if (node[a].size < node[b].size) std::swap(root, child);
+        parent[child] = root;
+        node[root].size += node[child].size;
+        n_small += node[root].size < min_size;
         if (n_small == 0) break;
       }
     }
   }
+  clk.lap("minsize");
 
-  return relabel(ds, (int32_t)n, labels_out);
+  int32_t n_seg = relabel_parents(parent, (int32_t)n, labels_out);
+  clk.lap("relabel");
+  return n_seg;
 }
 
 // Enforce 4-connectivity of an arbitrary label map (e.g. device SLIC
