@@ -549,9 +549,12 @@ def main():
                    help="print per-stage means + MFU estimate to stderr")
     args = p.parse_args()
 
-    # tunnel-health context (stderr; stdout stays machine-readable):
-    # the TPU link's latency drifts on an hours scale, so absolute
-    # throughput numbers need this reference point to be comparable
+    # tunnel-health context: the TPU link's latency drifts on an hours
+    # scale, so absolute throughput numbers need this reference point to
+    # be comparable — r04's 416 img/s vs r03's 537 was pure link phase
+    # and unreadable from the JSON alone.  The probe therefore rides
+    # INSIDE every JSON line ("tunnel_rtt_ms") as well as on stderr.
+    rtt_ms = None
     try:
         import jax
         import jax.numpy as jnp
@@ -566,8 +569,9 @@ def main():
             t0 = time.time()
             np.asarray(y @ y)
             ts.append(time.time() - t0)
+        rtt_ms = round(min(ts) * 1000, 1)
         print(f"tunnel health: 512^2 matmul round-trip best "
-              f"{min(ts) * 1000:.0f} ms (healthy <~200 ms; degraded "
+              f"{rtt_ms:.0f} ms (healthy <~200 ms; degraded "
               f"phases measure 3-10x that)", file=sys.stderr)
     except Exception:
         pass
@@ -595,6 +599,8 @@ def main():
             row["scored_value"] = scored["value"]
             row["scored_unit"] = scored["unit"]
             row["scored_vs_baseline"] = scored["vs_baseline"]
+        if rtt_ms is not None:
+            row["tunnel_rtt_ms"] = rtt_ms
         print(json.dumps(row), flush=True)
 
 

@@ -243,6 +243,14 @@ class RoundsConfig:
     # ms/img of host time (tools/relabel_probe.py).  Set "eval" for
     # reference disk parity.  PRED members are identical either way.
     score_store: str = "network"
+    # Relabel image-uplink wire (selftrain/relabel.py): "auto" ships the
+    # recovered uint8 pixels when the dataset's standardization inverts
+    # exactly (4x less uplink than f32, exact to 1 ulp).  "yuv420"
+    # halves that again with 2x2-subsampled chroma — lossy, so opt-in
+    # and gated by a prediction-agreement test vs the u8 wire
+    # (tests/test_selftrain.py).  The pass is uplink-bound (~85 of ~86
+    # ms/img at the u8 wire, docs/perf_playbook.md §5).
+    input_wire: str = "auto"
 
 
 def to_json(cfg) -> str:

@@ -142,7 +142,14 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         dataset in this package uses) and falls back to ``"f32"`` when
         the dataset standardized differently.  ``"f16"`` is the lossy
         halfway house (measured: up to ~0.09 score shift through an
-        untrained net — opt-in only);
+        untrained net — opt-in only).  ``"yuv420"`` recovers the uint8
+        pixels like ``"u8"`` then ships BT.601 YCbCr with 2x2-subsampled
+        chroma (1.5 B/px — HALF the u8 wire; pipeline/wire.py) and
+        decodes + standardizes on device.  Chroma subsampling is lossy,
+        so it is opt-in and gated by a prediction-agreement test vs the
+        exact u8 wire (tests/test_selftrain.py) — the measured lever for
+        a pass whose budget is ~85 ms/img of uplink out of ~86 total
+        (docs/perf_playbook.md §5);
       * downlink: predictions are bit-packed ON DEVICE (8x smaller than
         bool) and soft scores cast to ``score_dtype`` ON DEVICE — and
         for the binary case only CHANNEL 0 is fetched: softmax scores
@@ -195,11 +202,12 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         standardize = (CITYSCAPES_MEAN, CITYSCAPES_STD)
     std_mean = np.asarray(standardize[0], np.float32)
     std_std = np.asarray(standardize[1], np.float32)
-    if input_wire not in ("auto", "u8", "f32", "f16"):
+    if input_wire not in ("auto", "u8", "f32", "f16", "yuv420"):
         raise ValueError(f"unknown input_wire {input_wire!r}")
     if score_store not in ("eval", "network"):
         raise ValueError(f"unknown score_store {score_store!r}")
-    wire = {"mode": None if input_wire == "auto" else input_wire}
+    wire = {"mode": None if input_wire == "auto" else input_wire,
+            "hw": None}
 
     def _resolve_wire(imgs_std: np.ndarray) -> str:
         """'auto': adopt 'u8' iff this dataset's standardization inverts
@@ -218,8 +226,12 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         # falls back to; ~23 -> ~5 ms per 0.5 MP image on this host)
         return native.standardize_invert_u8(imgs_std, std_mean, std_std)
 
-    def _predict(v, im):
-        if im.dtype == jnp.uint8:  # u8 wire: standardize on device
+    def _predict(v, im, input_hw=None):
+        if im.ndim == 2:  # yuv420 wire: packed planes, decode on device
+            from spalign_tpu.pipeline.wire import decode_yuv420
+
+            im = decode_yuv420(im, input_hw)
+        if im.dtype == jnp.uint8:  # u8/yuv420 wire: standardize on device
             im = (im.astype(jnp.float32) - std_mean) / std_std
         labels, score = predict_labels(apply_fn, v, im.astype(jnp.float32),
                                        pred_shape=eval_shape,
@@ -251,11 +263,20 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         # an unhashable model cannot be keyed safely (id() can be
         # recycled by a later, different model) — skip caching
         cache_key = None
-    predict = _PREDICT_CACHE.get(cache_key) if cache_key else None
-    if predict is None:
-        predict = jax.jit(_predict)
-        if cache_key:
-            _PREDICT_CACHE[cache_key] = predict
+
+    def _get_predict():
+        """The jitted program, resolved lazily: the yuv420 wire bakes the
+        input resolution into the program (the packed planes are 1-D, so
+        the decode cannot infer H,W from the operand shape) and the
+        resolution is only known after the first batch loads."""
+        hw = wire["hw"] if wire["mode"] == "yuv420" else None
+        key = cache_key + (hw,) if cache_key else None
+        fn = _PREDICT_CACHE.get(key) if key else None
+        if fn is None:
+            fn = jax.jit(lambda v, im: _predict(v, im, input_hw=hw))
+            if key:
+                _PREDICT_CACHE[key] = fn
+        return fn
 
     each_dir = None
     if save_each:
@@ -284,9 +305,15 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         if pad:
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
         mode = _resolve_wire(imgs)  # host wire conversion on the
-        imgs_wire = (_to_u8(imgs) if mode == "u8"  # producer thread
-                     else imgs.astype(np.float16) if mode == "f16"
-                     else imgs.astype(np.float32))
+        wire["hw"] = imgs.shape[1:3]  # producer thread
+        if mode == "yuv420":
+            from spalign_tpu.pipeline.wire import pack_yuv420
+
+            imgs_wire = pack_yuv420(_to_u8(imgs))
+        else:
+            imgs_wire = (_to_u8(imgs) if mode == "u8"
+                         else imgs.astype(np.float16) if mode == "f16"
+                         else imgs.astype(np.float32))
         gts = None
         if items[0][1] is not None:
             gts = np.stack([it[1] for it in items])
@@ -299,7 +326,7 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         batch = jnp.asarray(imgs_wire)
         if mesh is not None:
             batch = shard_batch(mesh, batch)
-        return predict(variables, batch)
+        return _get_predict()(variables, batch)
 
     def finish(loaded, got):
         idx, imgs, gts = loaded

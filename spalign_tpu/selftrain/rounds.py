@@ -129,6 +129,7 @@ class RoundsDriver:
             soft_label=soft, mesh=trainer.mesh,
             score_dtype=np.dtype(cfg.score_dtype),
             score_store=cfg.score_store,
+            input_wire=cfg.input_wire,
             out_dir=os.path.join(result_dir,
                                  f"iter-{iteration}_eval-train"))
         return out_zip
@@ -158,6 +159,16 @@ class RoundsDriver:
         fresh process can resume a crashed run.
         """
         cfg = self.cfg
+        # rounds-level provenance (the per-round trainer writes its own
+        # args.txt; this records the orchestration config — incl. the
+        # relabel wire/store choices — which the reference's process
+        # orchestra never persisted)
+        from spalign_tpu.config import to_json
+
+        os.makedirs(cfg.result_base_dir, exist_ok=True)
+        with open(os.path.join(cfg.result_base_dir,
+                               "rounds_args.txt"), "w") as f:
+            f.write(to_json(cfg))
         if resume_round <= 1:
             prev_dir = self._train_round(1, initial_label_source)
             label_zip = self._relabel(1, prev_dir)

@@ -379,6 +379,95 @@ def test_relabel_wire_format_quality_gate(tmp_path):
         assert su8[k].shape == (2, *HW) and su8[k].dtype == np.float16
 
 
+def test_relabel_yuv420_wire_prediction_agreement(tmp_path):
+    """The gate behind input_wire='yuv420' (RoundsConfig.input_wire):
+    the pass is uplink-bound (~85 of ~86 ms/img at the u8 wire,
+    docs/perf_playbook.md §5), and yuv420 halves the wire — but chroma
+    subsampling is lossy, so it is opt-in and must be shown to leave
+    the predictions essentially unchanged vs the exact u8 wire.
+
+    Gate (on a briefly TRAINED net; a random-init net amplifies
+    arbitrary input perturbations — measured 68% worst-case agreement
+    on these scenes — and says nothing about the wire, while the
+    relabel pass by construction runs trained weights).  Run at 64x128:
+    the wire's 2x2 chroma blocks must be small relative to scene
+    structure, as they are on the >= 224^2 production workload (at
+    32x64 whole small texture regions sit inside one chroma block and
+    the comparison measures the scenes, not the wire).  Thresholds are
+    from a measured run (probe 2026-08-20): worst agreement 0.9866,
+    worst mean|score delta| 0.0202, flips within 2.4 px of a class
+    boundary except 1 image's 19-px isolated speck:
+      * per-image pixel agreement of preds >= 0.98;
+      * per-image mean |score delta| < 0.04;
+      * >= 95% of ALL flipped pixels within 3 px of a predicted class
+        boundary — a trained net saturates (flip scores measured up to
+        0.997), so the honest locality statement is spatial, not score
+        ambiguity: chroma subsampling may move a hard edge by a pixel
+        but must not relabel interiors."""
+    import jax.numpy as jnp
+
+    from spalign_tpu.train.trainer import (build_model, create_train_state,
+                                           make_train_step)
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    hw = (64, 128)
+    ds = SyntheticRoadScenes(n=N, full_shape=hw, seed=13)
+    adapter = RelabelAdapter(ds)
+    tcfg = TrainConfig(model="basic", optimizer="Adam", input_shape=hw,
+                       eval_shape=hw, batchsize=N, loss="ce",
+                       train_iters=30)
+    model = build_model(tcfg)
+    state = create_train_state(tcfg, model=model, sample_batch_shape=hw)
+    step = make_train_step(tcfg)
+    imgs = jnp.asarray(np.stack([adapter[i][0] for i in range(N)]))
+    labs = jnp.asarray(np.stack([adapter[i][1] for i in range(N)]))
+    for _ in range(30):
+        state, m = step(state, imgs, labs)
+    assert float(m["loss"]) < 0.3, float(m["loss"])  # actually learned
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def run(tag, wire):
+        out = str(tmp_path / f"{tag}.0.zip")
+        relabel_dataset(model, variables, adapter, out, eval_shape=hw,
+                        batch_size=4, soft_label=True,
+                        score_dtype=np.float32, input_wire=wire)
+        preds, scores = {}, {}
+        with np.load(out) as npz:
+            for k in npz.files:
+                (scores if k.endswith("_scores") else preds)[k] = npz[k]
+        return preds, scores
+
+    pu8, su8 = run("wire_u8", "u8")
+    pyv, syv = run("wire_yuv", "yuv420")
+    assert set(pu8) == set(pyv) and len(pu8) == N
+    agrees, deltas = [], []
+    n_flip_total, n_flip_near = 0, 0
+    for k in pu8:
+        agree = float(np.mean(pu8[k] == pyv[k]))
+        agrees.append(agree)
+        d = np.abs(su8[k + "_scores"][1].astype(np.float32)
+                   - syv[k + "_scores"][1].astype(np.float32))
+        deltas.append(float(d.mean()))
+        flipped = pu8[k] != pyv[k]
+        if flipped.any():
+            # predicted class boundary of the u8-wire output, 3 px band
+            p = pu8[k]
+            edge = np.zeros_like(p)
+            edge[:-1] |= p[:-1] != p[1:]
+            edge[1:] |= p[:-1] != p[1:]
+            edge[:, :-1] |= p[:, :-1] != p[:, 1:]
+            edge[:, 1:] |= p[:, :-1] != p[:, 1:]
+            near = cv2.dilate(edge.astype(np.uint8),
+                              np.ones((7, 7), np.uint8)).astype(bool)
+            n_flip_total += int(flipped.sum())
+            n_flip_near += int((near & flipped).sum())
+    assert min(agrees) >= 0.98, agrees
+    assert max(deltas) < 0.04, deltas
+    if n_flip_total:
+        assert n_flip_near / n_flip_total >= 0.95, \
+            (n_flip_near, n_flip_total)
+
+
 def test_relabel_small_score_downlink_matches_device_resize(tmp_path):
     """When eval_shape > network resolution the downlink carries the
     pre-resize score and the host replicates the device's bilinear
