@@ -186,6 +186,66 @@ class TestBF16:
             ious[name] = float(np.mean([r["road_iou"] for r in recs]))
         assert abs(ious["d1"] - ious["d2"]) < 0.1, ious
 
+    def test_quality_gate_superpixel_downscale_multiseed(self, tmp_path):
+        """Multi-seed strengthening of the d=2 gate (VERDICT r4 #6): the
+        "recommended production config" claim needs more than one
+        synthetic batch behind it.  5 scene seeds x 8 images, d=1 vs
+        d=2 with identical weights and per-batch k-means keys.
+
+        Measured (probe 2026-08-20, deterministic under these seeds):
+        per-scene IoU delta (d2-d1) in [-0.057, +0.100], mean +0.034,
+        CI95 half-width 0.071 — parity-or-better on average, no
+        systematic loss.  (A +-0.01 CI is not attainable with a
+        random-init DRN on synthetic scenes, where absolute IoU is
+        ~0.45-0.55 and scene-to-scene spread dominates; the production
+        claim is "no degradation", asserted as mean >= -0.02.)  Also
+        gates the direct mask-agreement statistic: the two configs'
+        saved full-res masks must agree on >= 70% of pixels per scene
+        (measured per-scene means 0.747-0.945 — k-means cluster
+        boundaries move with the superpixel tessellation, so agreement
+        is structural, not near-1.0)."""
+        import dataclasses
+
+        ds_mk = lambda s: SyntheticRoadScenes(n=8, full_shape=(256, 512),
+                                              seed=s)
+        sp = SuperpixelConfig(method="slic", n_slic_segments=40,
+                              slic_iters=4, max_superpixels=128,
+                              slic_enforce_connectivity=False)
+        base = LabelGenConfig(batchsize=8, resize_shape=(112, 112),
+                              superpixel=sp, save_masks=True)
+        gen1 = SpalignLabelGenerator(
+            dataclasses.replace(base, out_dir=str(tmp_path / "d1")),
+            seed=4)
+        cfg2 = dataclasses.replace(
+            base, out_dir=str(tmp_path / "d2"),
+            superpixel=dataclasses.replace(sp, slic_device_downscale=2))
+        gen2 = SpalignLabelGenerator(cfg2, seed=4,
+                                     variables=gen1.variables)
+        deltas, agrees = [], []
+        for scene_seed in (31, 101, 202, 303, 404):
+            ds = ds_mk(scene_seed)
+            ious = {}
+            for name, gen in (("d1", gen1), ("d2", gen2)):
+                # identical k-means keys for the pair
+                gen._seed_rng = np.random.RandomState(scene_seed)
+                recs = gen.process_dataset(ds)
+                ious[name] = float(np.mean([r["road_iou"]
+                                            for r in recs]))
+            deltas.append(ious["d2"] - ious["d1"])
+            a = []
+            for i in range(8):
+                b = os.path.splitext(ds.image_name(i))[0]
+                m1 = np.load(os.path.join(str(tmp_path / "d1"),
+                                          b + ".npy"))
+                m2 = np.load(os.path.join(str(tmp_path / "d2"),
+                                          b + ".npy"))
+                a.append(float(np.mean(m1 == m2)))
+            agrees.append(float(np.mean(a)))
+        d = np.asarray(deltas)
+        assert d.mean() >= -0.02, deltas  # no systematic quality loss
+        assert np.abs(d).max() <= 0.12, deltas
+        assert min(agrees) >= 0.70, agrees
+
     def test_parity_init_pins_float32(self):
         """Bit-parity mode must ignore the bf16 default (its contract is
         bit-equality with the reference's host math)."""
