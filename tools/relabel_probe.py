@@ -30,7 +30,9 @@ import numpy as np
 H, W = 512, 1024
 EVAL_HW = (1024, 2048)
 BATCH = 8
-N_IMGS = 16  # 2 batches; each 2 MP synthetic render costs host seconds
+N_IMGS = 32  # 4 batches: enough for the software pipeline to reach
+# steady state (2-batch runs measure mostly ramp); each 2 MP synthetic
+# render costs host seconds, paid once at init, excluded from timing
 
 
 def main(part: str = "e2e"):
