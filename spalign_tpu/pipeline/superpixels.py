@@ -15,6 +15,7 @@ the rest of the pipeline consumes.
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor  # felzenszwalb fan-out
 from functools import lru_cache as _lru_cache
 
@@ -64,8 +65,19 @@ def batched_slic_device_yuv(n_segments: int, compactness: float,
         decode_yuv420(packed, hw)))
 
 
+def _host_workers(cap: int = 8) -> int:
+    """Thread count for host superpixel passes.  The native ops release
+    the GIL, so threads scale on multi-core hosts — but MORE threads
+    than cores actively hurts: on this 1-core box 8 threads measured
+    504-541 ms/img of 2 MP felzenszwalb vs 460-478 single-threaded
+    (cache/scheduler thrash), ~10% of the overlaps mode's entire
+    budget."""
+    return max(1, min(cap, os.cpu_count() or 1))
+
+
 def _felzenszwalb_batch(images_hwc: np.ndarray, cfg: SuperpixelConfig,
-                        workers: int = 8):
+                        workers: int = 0):
+    workers = workers or _host_workers()
     def one(img):
         return native.felzenszwalb(
             img.astype(np.float32) / 255.0,
@@ -82,7 +94,7 @@ def _felzenszwalb_batch(images_hwc: np.ndarray, cfg: SuperpixelConfig,
 
 
 def _slic_batch(images_hwc, cfg: SuperpixelConfig, device_images=None,
-                workers: int = 8):
+                workers: int = 0):
     """Device SLIC + host connectivity enforcement.
 
     Measured on this TPU v5e setup: the union-find post-pass costs ~1 ms
@@ -106,7 +118,7 @@ def _slic_batch(images_hwc, cfg: SuperpixelConfig, device_images=None,
     if not cfg.slic_enforce_connectivity:
         # TPU-native mode: grid labels are contiguous [0, K) already
         return labels
-    with ThreadPoolExecutor(max_workers=workers) as ex:
+    with ThreadPoolExecutor(max_workers=workers or _host_workers()) as ex:
         out = list(ex.map(
             lambda l: native.enforce_connectivity(l, min_size=min_size),
             labels))
