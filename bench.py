@@ -590,6 +590,30 @@ def main():
               f"phases measure 3-10x that)", file=sys.stderr)
     except Exception:
         pass
+    # rtt alone does NOT capture link health: 2026-08-21 measured rtt
+    # 73 ms (healthy) alongside 1.2 MB/s uplink (30x degraded, vs ~40
+    # in the controlled README runs) — and the e2e rows are
+    # uplink-bound (docs/label_profile.md §5).  Probe bandwidth too so
+    # every BENCH artifact is self-interpreting.
+    uplink_mbps = None
+    try:
+        import jax.numpy as jnp
+
+        best = float("inf")
+        for i in range(3):
+            payload = np.random.RandomState(10 + i).randint(
+                0, 255, (4, 512, 1024), dtype=np.uint8)  # 2 MB, varied
+            t0 = time.time()
+            d = jnp.asarray(payload)
+            np.asarray(d.ravel()[0])  # the only real fence
+            best = min(best, time.time() - t0)
+        uplink_mbps = round(2.097 / max(best - (rtt_ms or 0) / 1e3,
+                                        1e-9), 1)
+        print(f"tunnel uplink: 2 MB best {best * 1e3:.0f} ms "
+              f"({uplink_mbps:.1f} MB/s net of rtt; controlled README "
+              f"phases ran ~40)", file=sys.stderr)
+    except Exception:
+        pass
 
     modes = (["slic", "slic_scored", "slic_d2", "slic_cc",
               "felzenszwalb", "direct", "overlaps", "overlaps_slic",
@@ -616,6 +640,8 @@ def main():
             row["scored_vs_baseline"] = scored["vs_baseline"]
         if rtt_ms is not None:
             row["tunnel_rtt_ms"] = rtt_ms
+        if uplink_mbps is not None:
+            row["tunnel_uplink_mbps"] = uplink_mbps
         print(json.dumps(row), flush=True)
 
 
