@@ -467,10 +467,15 @@ def bench_relabel(breakdown: bool = False) -> dict:
               f"first-rep compile excluded", file=sys.stderr)
     # Reference: per-image forward + CPU resize to 2 MP + f32 npz queue
     # (labels_from_segnet.py) — ~3 img/s per 2017-class GPU worker.
+    # value/vs_baseline keep the HISTORICAL meaning of this metric (the
+    # reference's eval-res disk format, which is also what the 3 img/s
+    # baseline produced); the production rounds-loop rate rides the
+    # same line as network_store_value so the series stays comparable
+    # across rounds without an apples-to-oranges redefinition.
     return {"metric": "relabel_images_per_sec",
-            "value": round(float(rate["network"]), 3), "unit": "img/s",
-            "vs_baseline": round(float(rate["network"] / 3.0), 2),
-            "eval_store_value": round(float(rate["eval"]), 3)}
+            "value": round(float(rate["eval"]), 3), "unit": "img/s",
+            "vs_baseline": round(float(rate["eval"] / 3.0), 2),
+            "network_store_value": round(float(rate["network"]), 3)}
 
 
 def bench_train(breakdown: bool = False,
@@ -607,11 +612,20 @@ def main():
             d = jnp.asarray(payload)
             np.asarray(d.ravel()[0])  # the only real fence
             best = min(best, time.time() - t0)
-        uplink_mbps = round(2.097 / max(best - (rtt_ms or 0) / 1e3,
-                                        1e-9), 1)
-        print(f"tunnel uplink: 2 MB best {best * 1e3:.0f} ms "
-              f"({uplink_mbps:.1f} MB/s net of rtt; controlled README "
-              f"phases ran ~40)", file=sys.stderr)
+        net = best - (rtt_ms or 0) / 1e3
+        if net > 1e-3:
+            uplink_mbps = round(2.097 / net, 1)
+            print(f"tunnel uplink: 2 MB best {best * 1e3:.0f} ms "
+                  f"({uplink_mbps:.1f} MB/s net of rtt; controlled "
+                  f"README phases ran ~40)", file=sys.stderr)
+        else:
+            # the tunnel drifted between the two probes (rtt measured
+            # in a worse phase than the upload): a net-of-rtt rate
+            # would be nonsense, so record nothing rather than a lie
+            print(f"tunnel uplink: 2 MB best {best * 1e3:.0f} ms "
+                  f"<= rtt probe ({rtt_ms:.0f} ms) — phases drifted "
+                  f"between probes, bandwidth not recorded",
+                  file=sys.stderr)
     except Exception:
         pass
 

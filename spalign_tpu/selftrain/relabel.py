@@ -206,8 +206,7 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         raise ValueError(f"unknown input_wire {input_wire!r}")
     if score_store not in ("eval", "network"):
         raise ValueError(f"unknown score_store {score_store!r}")
-    wire = {"mode": None if input_wire == "auto" else input_wire,
-            "hw": None}
+    wire = {"mode": None if input_wire == "auto" else input_wire}
 
     def _resolve_wire(imgs_std: np.ndarray) -> str:
         """'auto': adopt 'u8' iff this dataset's standardization inverts
@@ -264,18 +263,24 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         # recycled by a later, different model) — skip caching
         cache_key = None
 
-    def _get_predict():
-        """The jitted program, resolved lazily: the yuv420 wire bakes the
-        input resolution into the program (the packed planes are 1-D, so
-        the decode cannot infer H,W from the operand shape) and the
-        resolution is only known after the first batch loads."""
-        hw = wire["hw"] if wire["mode"] == "yuv420" else None
-        key = cache_key + (hw,) if cache_key else None
-        fn = _PREDICT_CACHE.get(key) if key else None
+    # per-call fallback cache: an unhashable model cannot use the
+    # module-level cache safely (recycled id()), but the program must
+    # still be built ONCE PER CALL, not once per batch — each fresh
+    # jax.jit wrapper has an empty trace cache and a recompile costs
+    # ~10 s through the tunnel
+    local_cache: dict = {}
+
+    def _get_predict(hw):
+        """The jitted program for one input resolution: the yuv420 wire
+        bakes H,W into the program (the packed planes are 1-D, so the
+        decode cannot infer them from the operand shape)."""
+        hw = hw if wire["mode"] == "yuv420" else None
+        key = cache_key + (hw,) if cache_key else hw
+        store = _PREDICT_CACHE if cache_key else local_cache
+        fn = store.get(key)
         if fn is None:
             fn = jax.jit(lambda v, im: _predict(v, im, input_hw=hw))
-            if key:
-                _PREDICT_CACHE[key] = fn
+            store[key] = fn
         return fn
 
     each_dir = None
@@ -305,7 +310,7 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
         if pad:
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
         mode = _resolve_wire(imgs)  # host wire conversion on the
-        wire["hw"] = imgs.shape[1:3]  # producer thread
+        hw = imgs.shape[1:3]  # producer thread
         if mode == "yuv420":
             from spalign_tpu.pipeline.wire import pack_yuv420
 
@@ -319,17 +324,21 @@ def relabel_dataset(model, variables, dataset, out_zip: str,
             gts = np.stack([it[1] for it in items])
             if pad:
                 gts = np.concatenate([gts, np.repeat(gts[-1:], pad, 0)])
-        return idx, imgs_wire, gts
+        # hw rides the loaded tuple: a shared mutable cell here would
+        # race — with prefetch>0 the producer thread loads batch k+2
+        # while the main thread dispatches batch k, and the yuv420
+        # program must be traced for THIS batch's resolution
+        return idx, imgs_wire, gts, hw
 
     def dispatch(loaded):
-        idx, imgs_wire, gts = loaded
+        idx, imgs_wire, gts, hw = loaded
         batch = jnp.asarray(imgs_wire)
         if mesh is not None:
             batch = shard_batch(mesh, batch)
-        return _get_predict()(variables, batch)
+        return _get_predict(hw)(variables, batch)
 
     def finish(loaded, got):
-        idx, imgs, gts = loaded
+        idx, imgs, gts, _hw = loaded
         # drop the static-shape padding rows BEFORE the host-side work
         # below (a 1-image tail batch must not pay batch_size-1 wasted
         # full-res resizes on this 1-core host)

@@ -647,3 +647,71 @@ def test_relabel_sharded_equals_unsharded(tmp_path):
                 assert (np.abs(s[flipped] - 0.5) < 2e-3).all()
     for r1, r4 in zip(recs1, recs4):
         assert r1["img_fn"] == r4["img_fn"]
+
+
+def test_relabel_yuv420_mixed_resolution_batches(tmp_path):
+    """Regression: the yuv420 decode bakes H,W into the jitted program
+    (the packed planes are 1-D), and the resolution must ride each
+    batch's loaded tuple — an earlier draft kept it in a shared mutable
+    cell that the producer thread overwrote while the main thread was
+    still dispatching an older batch.  With prefetch > 0 and batches of
+    DIFFERENT resolutions whose packed lengths coincide ((64,128) vs
+    (128,64): both 1.5*64*128 bytes/img), that race decodes a batch at
+    the transposed resolution and produces silent garbage.  Gate: a
+    mixed-resolution yuv420 run must reproduce, bit-exactly, the same
+    images relabeled in homogeneous single-resolution runs (same wire
+    on both sides, so chroma loss cancels and only the plumbing is
+    under test)."""
+    import jax
+
+    from spalign_tpu.models import SegNetBasic
+    from spalign_tpu.selftrain.relabel import relabel_dataset
+
+    hw_a, hw_b = (64, 128), (128, 64)
+    ds_a = SyntheticRoadScenes(n=4, full_shape=hw_a, seed=23)
+    ds_b = SyntheticRoadScenes(n=4, full_shape=hw_b, seed=24)
+
+    class View:
+        def __init__(self, parts):
+            self.items = []
+            for tag, ds in parts:
+                for i in range(len(ds)):
+                    img, lab = ds[i]
+                    img = ((img.astype(np.float32) - CITYSCAPES_MEAN)
+                           / CITYSCAPES_STD)
+                    self.items.append(
+                        (f"{tag}_{i:02d}.png", img,
+                         (lab == 7).astype(np.int32)))
+
+        def __len__(self):
+            return len(self.items)
+
+        def image_name(self, i):
+            return self.items[i][0]
+
+        def __getitem__(self, i):
+            return self.items[i][1], self.items[i][2]
+
+    model = SegNetBasic(n_class=2)
+    variables = model.init(jax.random.key(5),
+                           np.zeros((1, *hw_a, 3), np.float32))
+
+    def run(tag, view):
+        out = str(tmp_path / f"{tag}.0.zip")
+        relabel_dataset(model, variables, view, out, eval_shape=hw_a,
+                        batch_size=4, soft_label=True,
+                        score_dtype=np.float16, input_wire="yuv420",
+                        prefetch=2)
+        arrays = {}
+        with np.load(out) as npz:
+            for k in npz.files:
+                arrays[k] = npz[k]
+        return arrays
+
+    mixed = run("mixed", View([("a", ds_a), ("b", ds_b)]))
+    solo_a = run("solo_a", View([("a", ds_a)]))
+    solo_b = run("solo_b", View([("b", ds_b)]))
+    solo = {**solo_a, **solo_b}
+    assert set(mixed) == set(solo)
+    for k in mixed:
+        np.testing.assert_array_equal(mixed[k], solo[k], err_msg=k)

@@ -45,16 +45,7 @@ def fence(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
 
 
-def rtt():
-    best = float("inf")
-    for i in range(4):
-        x = jnp.asarray(np.random.RandomState(i).rand(8, 8)
-                        .astype(np.float32))
-        t0 = time.time()
-        np.asarray(x @ x)
-        if i:
-            best = min(best, time.time() - t0)
-    return best
+from tools._probe import rtt  # shared tunnel probe (one impl)
 
 
 class StatBatchNorm(nn.Module):

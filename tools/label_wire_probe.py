@@ -37,16 +37,7 @@ def main():
     from spalign_tpu.data.synthetic import SyntheticRoadScenes
     from spalign_tpu.pipeline.wire import pack_yuv420
 
-    def rtt():
-        best = float("inf")
-        for i in range(4):
-            x = jnp.asarray(np.random.RandomState(i).rand(8, 8)
-                            .astype(np.float32))
-            t0 = time.time()
-            np.asarray(x @ x)
-            if i:
-                best = min(best, time.time() - t0)
-        return best
+    from tools._probe import rtt  # shared tunnel probe (one impl)
 
     r = rtt()
     print(f"rtt {r * 1e3:.0f} ms", flush=True)

@@ -88,9 +88,12 @@ def main(part: str = "e2e"):
     params = inspect.signature(relabel_dataset).parameters
     if "score_store" in params:
         variants.append(("B net-res zip", {"score_store": "network"}))
+    if "score_store" in params and "input_wire" in params:
         # variant C keys on the yuv420 input wire (r5): the pass is
         # uplink-bound at the u8 wire (~85 of ~86 ms/img, playbook §5);
-        # 1.5 B/px should roughly halve the budget
+        # 1.5 B/px should roughly halve the budget.  Guarded on its OWN
+        # kwarg so the probe stays runnable on a tree that has the
+        # network store but not yet the wire.
         variants.append(("C net-res + yuv420",
                          {"score_store": "network",
                           "input_wire": "yuv420"}))
